@@ -1,0 +1,214 @@
+"""Explanation generators — ONE jitted program per (method, config).
+
+Covers the reference's ``LRP.generate_LRP`` (all relprop methods,
+``baselines/ViT/ViT_explanation_generator.py:25-41``) and the ``Baselines``
+class (raw-attention rollout :74-83, GradCAM-on-attention :50-71).
+
+The reference's three-phase imperative protocol — forward (hooks stash state),
+``one_hot.backward`` (hooks stash attention grads), Python-driven reverse
+``relprop`` walk — becomes a single pure function:
+
+    1. a "tapped" forward: zeros added to each post-softmax attention map;
+       ``jax.value_and_grad`` w.r.t. the taps yields exactly the hook
+       gradients, while the aux output carries the logits and residuals;
+    2. a reverse ``lax.scan`` relprop over the stacked blocks;
+    3. method-specific aggregation (grad⊙cam head-mean + rollout chain, ...).
+
+Everything jits into one XLA program; batch is ``vmap``; XLA dead-code
+eliminates whichever of (taps-backward, relprop) the chosen method doesn't
+need, since the method is a static argument.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_explainability_tpu.models import vit as vit_mod
+from transformer_explainability_tpu.models.vit import ViTConfig
+from transformer_explainability_tpu.ops import relprop as rp
+
+Array = jax.Array
+
+# method name -> needs (attention-gradients, relprop-chain)
+METHODS = {
+    "transformer_attribution": (True, True),
+    "grad": (True, True),                    # legacy alias (ViT_LRP.py:357)
+    "rollout": (False, True),                # cam-based rollout (ViT_LRP.py:345)
+    "full": (False, True),                   # full LRP to pixels (:337)
+    "last_layer": (False, True),             # +grads when is_ablation (:371)
+    "last_layer_attn": (False, False),       # raw attention (:382)
+    "second_layer": (False, True),           # (:389)
+    "attn_gradcam": (True, False),           # Baselines.generate_cam_attn
+    "rollout_attn": (False, False),          # Baselines.generate_rollout
+}
+
+
+def _one_hot_index(logits: Array, index: Array, num_classes: int) -> Array:
+    """index >= 0 -> that class; index < 0 -> argmax (the reference's
+    ``index=None`` path, ViT_explanation_generator.py:28-29)."""
+    idx = jnp.where(index >= 0, index, jnp.argmax(logits, axis=-1))
+    return jax.nn.one_hot(idx, num_classes, dtype=logits.dtype)
+
+
+def _forward_with_attn_grads(params, img, index, cfg: ViTConfig):
+    """Forward + gradients of the selected logit w.r.t. every post-softmax
+    attention map (replaces one_hot.backward + register_hook)."""
+
+    def score(taps):
+        logits, res = vit_mod.forward_collect(params, img, cfg, taps)
+        onehot = _one_hot_index(logits, index, cfg.num_classes)
+        return jnp.sum(onehot * logits), (logits, res)
+
+    taps0 = jnp.zeros((cfg.depth, cfg.num_heads, cfg.num_tokens,
+                       cfg.num_tokens), img.dtype)
+    grads, (logits, res) = jax.grad(score, has_aux=True)(taps0)
+    return logits, res, grads
+
+
+def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
+                   method: str = "transformer_attribution",
+                   start_layer: int = 0, is_ablation: bool = False,
+                   alpha: float = 1.0, variant: str = "ours") -> Array:
+    """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
+
+    Output shapes (matching the reference per method):
+      * patch-token methods -> (num_patches,) CLS-row relevance;
+      * "full" -> (H, W) pixel relevance;
+      * "attn_gradcam" -> (grid, grid) min-max-normalized map.
+    """
+    if method not in METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; available: {sorted(METHODS)}")
+    needs_grads = METHODS[method][0] or (
+        is_ablation and method in ("last_layer", "second_layer"))
+    needs_relprop = METHODS[method][1]
+
+    if needs_grads:
+        logits, res, attn_grads = _forward_with_attn_grads(
+            params, img, index, cfg)
+    else:
+        logits, res = vit_mod.forward_collect(params, img, cfg)
+        attn_grads = None
+
+    if needs_relprop:
+        onehot = _one_hot_index(logits, index, cfg.num_classes)
+        R_tokens, attn_cams = vit_mod.relprop(
+            params, res, onehot, cfg, alpha=alpha, variant=variant)
+    else:
+        R_tokens = attn_cams = None
+
+    if method in ("transformer_attribution", "grad"):
+        # per block: (grad ⊙ cam)⁺ head-mean, then rollout (ViT_LRP.py:357-369)
+        cams = jnp.clip(attn_grads * attn_cams, min=0).mean(axis=1)
+        joint = rp.compute_rollout(cams, start_layer)
+        return joint[0, 1:]
+
+    if method == "rollout":
+        cams = jnp.clip(attn_cams, min=0).mean(axis=1)
+        joint = rp.compute_rollout(cams, start_layer)
+        return joint[0, 1:]
+
+    if method == "full":
+        return vit_mod.full_lrp_input_relevance(
+            params, res, R_tokens, img, cfg, variant)
+
+    if method in ("last_layer", "second_layer"):
+        li = cfg.depth - 1 if method == "last_layer" else 1
+        cam = attn_cams[li]
+        if is_ablation:
+            cam = attn_grads[li] * cam
+        cam = jnp.clip(cam, min=0).mean(axis=0)
+        return cam[0, 1:]
+
+    if method == "last_layer_attn":
+        cam = jnp.clip(res.attns[-1], min=0).mean(axis=0)
+        return cam[0, 1:]
+
+    if method == "attn_gradcam":
+        # GradCAM on the last attention map (ViT_explanation_generator.py:50-71)
+        g = cfg.grid
+        cam = res.attns[-1][:, 0, 1:].reshape(-1, g, g)
+        grad = attn_grads[-1][:, 0, 1:].reshape(-1, g, g)
+        grad = grad.mean(axis=(1, 2), keepdims=True)
+        cam = jnp.clip((cam * grad).mean(axis=0), min=0)
+        return (cam - cam.min()) / (cam.max() - cam.min())
+
+    if method == "rollout_attn":
+        # raw-attention rollout baseline, row-normalized
+        # (ViT_explanation_generator.py:7-18,74-83)
+        cams = res.attns.mean(axis=1)
+        joint = rp.compute_rollout(cams, start_layer, row_normalize=True)
+        return joint[0, 1:]
+
+    raise ValueError(f"unknown method {method!r}")
+
+
+def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
+                    start_layer: int = 0, is_ablation: bool = False,
+                    alpha: float = 1.0, variant: str = "ours",
+                    matmul_precision: str = "float32"):
+    """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
+
+    images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
+    ``matmul_precision``: "float32" for reference parity (fp32 accumulation on
+    the MXU), "bfloat16"/"tensorfloat32" for throughput.
+    """
+
+    def single(params, img, index):
+        with jax.default_matmul_precision(matmul_precision):
+            return explain_single(params, img, index, cfg, method,
+                                  start_layer, is_ablation, alpha, variant)
+
+    return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
+
+
+class Explainer:
+    """Convenience wrapper: caches one compiled program per method config.
+
+    The public analog of the reference's ``LRP`` + ``Baselines`` classes
+    (ViT_explanation_generator.py:20-83) with batched, device-resident
+    execution.
+    """
+
+    def __init__(self, params, cfg: ViTConfig, variant: str = "ours",
+                 matmul_precision: str = "float32"):
+        self.params = params
+        self.cfg = cfg
+        self.variant = variant
+        self.matmul_precision = matmul_precision
+        self._fns = {}
+
+    def _fn(self, method, start_layer, is_ablation, alpha):
+        key = (method, start_layer, is_ablation, alpha)
+        if key not in self._fns:
+            self._fns[key] = make_explain_fn(
+                self.cfg, method, start_layer, is_ablation, alpha,
+                self.variant, self.matmul_precision)
+        return self._fns[key]
+
+    def explain(self, images, indices: Optional[np.ndarray] = None,
+                method: str = "transformer_attribution", start_layer: int = 0,
+                is_ablation: bool = False, alpha: float = 1.0):
+        images = jnp.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        B = images.shape[0]
+        if indices is None:
+            idx = jnp.full((B,), -1, jnp.int32)
+        else:
+            idx = jnp.asarray(indices, jnp.int32).reshape(B)
+        fn = self._fn(method, start_layer, is_ablation, alpha)
+        return fn(self.params, images, idx)
+
+    # the reference Baselines API surface
+    def generate_rollout(self, images, start_layer: int = 0):
+        return self.explain(images, method="rollout_attn",
+                            start_layer=start_layer)
+
+    def generate_cam_attn(self, images, indices=None):
+        return self.explain(images, indices, method="attn_gradcam")

@@ -1,0 +1,355 @@
+"""Explainable Vision Transformer — TPU-native (JAX) redesign.
+
+Functionally equivalent to the reference's ``baselines/ViT/ViT_LRP.py`` (ours
+rules) and ``ViT_orig_LRP.py`` (vanilla rules; the ``variant`` argument), but
+architected for XLA:
+
+  * Pure functions over an explicit parameter pytree; per-block parameters are
+    stacked along a leading ``depth`` axis and the forward/relprop passes are
+    ``lax.scan``s over it (one compiled block body instead of 12 unrolled).
+  * The forward pass stores only two residuals per block (the block input and
+    the post-attention midpoint). Everything else the LRP rules need (normed
+    activations, q/k/v, attention probabilities, per-branch outputs) is
+    *recomputed* inside the reverse scan from those anchors — bitwise identical
+    to the forward values since the same ops run on the same inputs. This is
+    the remat trade (FLOPs for HBM bandwidth) that keeps large explanation
+    batches on-chip.
+  * The patch-embedding conv (kernel == stride) is a patchify + one MXU matmul
+    rather than a convolution.
+  * Attention gradients (the reference's ``attn.register_hook`` at
+    ``ViT_LRP.py:145``) are obtained by differentiating a "tapped" forward
+    (zero tensors added to the post-softmax attention) — see
+    :mod:`transformer_explainability_tpu.explain.generator`.
+
+All public functions are single-example (image ``(C,H,W)``); batch via vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_explainability_tpu.ops import relprop as rp
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    # torch nn.LayerNorm defaults: blocks use eps=1e-6 (ViT_LRP.py:184,187),
+    # the final norm uses the 1e-5 default (ViT_LRP.py:266).
+    block_ln_eps: float = 1e-6
+    final_ln_eps: float = 1e-5
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+VIT_BASE_16_224 = ViTConfig()
+VIT_LARGE_16_224 = ViTConfig(embed_dim=1024, depth=24, num_heads=16)
+# DeiT-base in the reference loads into the identical architecture — the repo
+# has no distillation-token path (reference ViT_LRP.py:427-436).
+DEIT_BASE_16_224 = ViTConfig()
+
+
+# ---------------------------------------------------------------------------
+# Init / parameter structure
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    # truncated at ±2 std, matching the reference's trunc_normal_
+    # (baselines/ViT/weight_init.py:6-39)
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    """Random init mirroring the reference's ``_init_weights``
+    (ViT_LRP.py:292-299): trunc-normal(0.02) linear weights, zero biases,
+    unit/zero LayerNorm."""
+    ks = jax.random.split(key, 16)
+    D, L, M, C = cfg.embed_dim, cfg.depth, cfg.mlp_dim, cfg.num_classes
+    P = cfg.patch_size
+    pe_in = cfg.in_chans * P * P
+
+    def ln():
+        return {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)}
+
+    def lin(k, fan_in, fan_out):
+        return {"kernel": _trunc_normal(k, (L, fan_in, fan_out), dtype=dtype),
+                "bias": jnp.zeros((L, fan_out), dtype)}
+
+    params = {
+        "patch_embed": {
+            "kernel": _trunc_normal(ks[0], (pe_in, D), dtype=dtype),
+            "bias": jnp.zeros((D,), dtype),
+        },
+        "cls_token": _trunc_normal(ks[1], (1, D), dtype=dtype),
+        "pos_embed": _trunc_normal(ks[2], (cfg.num_tokens, D), dtype=dtype),
+        "blocks": {
+            "norm1": ln(),
+            "qkv": lin(ks[3], D, 3 * D),
+            "proj": lin(ks[4], D, D),
+            "norm2": ln(),
+            "fc1": lin(ks[5], D, M),
+            "fc2": lin(ks[6], M, D),
+        },
+        "norm": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "head": {"kernel": _trunc_normal(ks[7], (D, C), dtype=dtype),
+                 "bias": jnp.zeros((C,), dtype)},
+    }
+    if not cfg.qkv_bias:
+        params["blocks"]["qkv"].pop("bias")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layernorm(x: Array, p: Params, eps: float) -> Array:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _split_qkv(qkv: Array, cfg: ViTConfig) -> Tuple[Array, Array, Array]:
+    """(n, 3D) -> three (h, n, hd); column layout matches the torch rearrange
+    'n (qkv h d) -> qkv h n d' (ViT_LRP.py:135)."""
+    n = qkv.shape[0]
+    x = qkv.reshape(n, 3, cfg.num_heads, cfg.head_dim)
+    x = x.transpose(1, 2, 0, 3)
+    return x[0], x[1], x[2]
+
+
+def _merge_heads(x: Array) -> Array:
+    """(h, n, hd) -> (n, h*hd)."""
+    h, n, d = x.shape
+    return x.transpose(1, 0, 2).reshape(n, h * d)
+
+
+class BlockActs(NamedTuple):
+    """Recomputed per-block activations, in forward order."""
+    xn1: Array        # norm1 output (n, D)
+    q: Array          # (h, n, hd)
+    k: Array
+    v: Array
+    attn: Array       # post-softmax (+tap) attention (h, n, n)
+    out_merged: Array  # matmul2 output merged (n, D) — proj's input
+    attn_out: Array   # proj output (n, D) — add1's second operand
+    xn2: Array        # norm2 output (n, D)
+    hg: Array         # GELU output (n, M) — fc2's input
+    mlp_out: Array    # fc2 output (n, D) — add2's second operand
+
+
+def _block_acts(x_in: Array, bp: Params, cfg: ViTConfig,
+                tap: Optional[Array] = None) -> Tuple[Array, Array, BlockActs]:
+    """Run one block from its input; returns (x_mid, x_out, acts)."""
+    xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
+    qkv = xn1 @ bp["qkv"]["kernel"]
+    if "bias" in bp["qkv"]:
+        qkv = qkv + bp["qkv"]["bias"]
+    q, k, v = _split_qkv(qkv, cfg)
+    dots = jnp.einsum("hid,hjd->hij", q, k)
+    scale = cfg.head_dim ** -0.5
+    attn = jax.nn.softmax(dots * scale, axis=-1)
+    if tap is not None:
+        attn = attn + tap
+    out = jnp.einsum("hij,hjd->hid", attn, v)
+    out_merged = _merge_heads(out)
+    attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    x_mid = x_in + attn_out
+
+    xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+    h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+    hg = jax.nn.gelu(h1, approximate=False)
+    mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    x_out = x_mid + mlp_out
+    return x_mid, x_out, BlockActs(xn1, q, k, v, attn, out_merged, attn_out,
+                                   xn2, hg, mlp_out)
+
+
+class Residuals(NamedTuple):
+    """Everything the relprop pass needs, collected by ``forward_collect``."""
+    x0: Array        # tokens after pos-embed add (n, D) — block 0 input
+    cat_x: Array     # tokens before pos-embed add (n, D) — the Add's 1st operand
+    x_ins: Array     # (L, n, D) stacked block inputs
+    x_mids: Array    # (L, n, D) stacked post-attention midpoints
+    x_final: Array   # final block output (n, D)
+    xn: Array        # final norm output (n, D) — pool's input
+    cls: Array       # pooled CLS (D,) — head's input
+    attns: Array     # (L, h, n, n) post-softmax attention probabilities
+
+
+def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
+    """Patchify-matmul embedding + CLS concat; returns (cat_x, x0)."""
+    patches = rp.patchify(img, cfg.patch_size)
+    tok = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    cat_x = jnp.concatenate([params["cls_token"], tok], axis=0)
+    x0 = cat_x + params["pos_embed"]
+    return cat_x, x0
+
+
+def forward_collect(params: Params, img: Array, cfg: ViTConfig,
+                    taps: Optional[Array] = None) -> Tuple[Array, Residuals]:
+    """Forward pass returning logits + the residuals for relprop.
+
+    ``taps``: optional (L, h, n, n) zeros added to each layer's post-softmax
+    attention; differentiating w.r.t. them yields exactly the gradients the
+    reference collects with ``attn.register_hook`` (ViT_LRP.py:144-145).
+    """
+    cat_x, x0 = embed(params, img, cfg)
+
+    def step(x, inp):
+        bp, tap = inp
+        x_mid, x_out, acts = _block_acts(x, bp, cfg, tap)
+        return x_out, (x, x_mid, acts.attn)
+
+    tap_seq = taps if taps is not None else jnp.zeros(
+        (cfg.depth, cfg.num_heads, cfg.num_tokens, cfg.num_tokens), x0.dtype)
+    x_final, (x_ins, x_mids, attns) = jax.lax.scan(
+        step, x0, (params["blocks"], tap_seq))
+
+    xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
+    cls = xn[0]
+    logits = cls @ params["head"]["kernel"] + params["head"]["bias"]
+    res = Residuals(x0, cat_x, x_ins, x_mids, x_final, xn, cls, attns)
+    return logits, res
+
+
+def forward(params: Params, img: Array, cfg: ViTConfig) -> Array:
+    """Plain classification forward (the reference's ``ViT_new`` role — e.g.
+    scoring perturbed images, ``pertubation_eval_from_hdf5.py:222``)."""
+    return forward_collect(params, img, cfg)[0]
+
+
+# ---------------------------------------------------------------------------
+# Relprop
+# ---------------------------------------------------------------------------
+
+def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
+                  cfg: ViTConfig, alpha: float, variant: str
+                  ) -> Tuple[Array, Array, Array]:
+    """LRP through one block, reverse order (reference ViT_LRP.py:203-213 and
+    Attention.relprop :154-177). Recomputes the block's activations from the
+    (x_in, x_mid) anchors. Returns (R_in, attn_cam, v_cam)."""
+    acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
+
+    # add2 -> mlp -> norm2(id) -> clone2
+    R1, R2 = rp.add_relprop(x_mid, acts.mlp_out, R, variant)
+    R2 = rp.linear_alphabeta(acts.hg, bp["fc2"]["kernel"], R2, alpha, variant)
+    R2 = rp.linear_alphabeta(acts.xn2, bp["fc1"]["kernel"], R2, alpha, variant)
+    R = rp.clone_relprop(x_mid, [R1, R2])
+
+    # add1 -> attention -> norm1(id) -> clone1
+    R1, R2 = rp.add_relprop(x_in, acts.attn_out, R, variant)
+    R2 = rp.linear_alphabeta(acts.out_merged, bp["proj"]["kernel"], R2,
+                             alpha, variant)
+    cam = R2.reshape(cfg.num_tokens, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
+    cam1, cam_v = rp.einsum_av_relprop(acts.attn, acts.v, cam)
+    cam1 = cam1 / 2
+    cam_v = cam_v / 2
+    attn_cam = cam1                       # saved (ViT_LRP.py:165)
+    # attn_drop, softmax: identity; the *scale multiply is outside any module
+    # so relprop sees the pre-scale matmul1 (ViT_LRP.py:139-141).
+    cam_q, cam_k = rp.einsum_qk_relprop(acts.q, acts.k, cam1)
+    cam_q = cam_q / 2
+    cam_k = cam_k / 2
+    # 'qkv h n d -> n (qkv h d)' (ViT_LRP.py:175)
+    cam_qkv = jnp.stack([cam_q, cam_k, cam_v], axis=0)       # (3, h, n, hd)
+    cam_qkv = cam_qkv.transpose(2, 0, 1, 3).reshape(
+        cfg.num_tokens, 3 * cfg.embed_dim)
+    R2 = rp.linear_alphabeta(acts.xn1, bp["qkv"]["kernel"], cam_qkv,
+                             alpha, variant)
+    R_in = rp.clone_relprop(x_in, [R1, R2])
+    return R_in, attn_cam, cam_v
+
+
+def _block_acts_from_anchors(x_in: Array, x_mid: Array, bp: Params,
+                             cfg: ViTConfig) -> BlockActs:
+    """Recompute all block activations from the two stored anchors; each value
+    is the same op on the same inputs as the forward, hence bitwise equal."""
+    xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
+    qkv = xn1 @ bp["qkv"]["kernel"]
+    if "bias" in bp["qkv"]:
+        qkv = qkv + bp["qkv"]["bias"]
+    q, k, v = _split_qkv(qkv, cfg)
+    dots = jnp.einsum("hid,hjd->hij", q, k)
+    attn = jax.nn.softmax(dots * (cfg.head_dim ** -0.5), axis=-1)
+    out = jnp.einsum("hij,hjd->hid", attn, v)
+    out_merged = _merge_heads(out)
+    attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+    xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+    h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+    hg = jax.nn.gelu(h1, approximate=False)
+    mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
+    return BlockActs(xn1, q, k, v, attn, out_merged, attn_out, xn2, hg, mlp_out)
+
+
+def relprop(params: Params, res: Residuals, R_logits: Array, cfg: ViTConfig,
+            alpha: float = 1.0, variant: str = "ours"
+            ) -> Tuple[Array, Array]:
+    """Relevance propagation head -> pool -> norm -> blocks (reversed).
+
+    Mirrors reference ViT_LRP.py:324-332. Returns (R_tokens, attn_cams) where
+    R_tokens is the relevance at the block-0 input (n, D) and attn_cams is the
+    stacked (L, h, n, n) per-block attention relevance (the reference's
+    ``save_attn_cam`` values).
+    """
+    R = rp.linear_alphabeta(res.cls, params["head"]["kernel"], R_logits,
+                            alpha, variant)            # head (D,)
+    R = R[None, :]                                     # unsqueeze token axis
+    R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R)  # pool (n, D)
+    # final norm: identity rule
+
+    def step(Rc, xs):
+        x_in, x_mid, bp = xs
+        R_in, attn_cam, _ = block_relprop(Rc, x_in, x_mid, bp, cfg,
+                                          alpha, variant)
+        return R_in, attn_cam
+
+    R_tokens, attn_cams = jax.lax.scan(
+        step, R, (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
+    return R_tokens, attn_cams
+
+
+def full_lrp_input_relevance(params: Params, res: Residuals, R_tokens: Array,
+                             img: Array, cfg: ViTConfig, variant: str = "ours"
+                             ) -> Array:
+    """Continue relprop to the pixels (method="full", ViT_LRP.py:337-343):
+    pos-embed Add -> drop CLS -> patch-conv z^B -> channel sum."""
+    Rx, _ = rp.add_relprop(res.cat_x, jnp.broadcast_to(
+        params["pos_embed"], res.cat_x.shape), R_tokens, variant)
+    Rp = Rx[1:]                                        # drop CLS row
+    cam = rp.conv_patch_zB_relprop(img, params["patch_embed"]["kernel"], Rp,
+                                   cfg.patch_size)
+    return cam.sum(axis=0)                             # (H, W)
