@@ -1,0 +1,71 @@
+"""Benchmark: ViT-B/16 class-specific explanations/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >=500 transformer_attribution explanations/sec
+per chip on TPU v5e; vs_baseline is value/500.
+
+Method benched: the headline ``transformer_attribution`` — full forward +
+attention-gradient backward + 12-block LRP relprop + rollout, batched, one
+jitted program (random ViT-B/16 weights; the math/FLOPs are weight-agnostic).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from transformer_explainability_tpu.models.vit import (
+        VIT_BASE_16_224, init_params)
+    from transformer_explainability_tpu.explain.generator import make_explain_fn
+
+    precision = os.environ.get("BENCH_PRECISION", "float32")
+    cfg = VIT_BASE_16_224
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+
+    fn = make_explain_fn(cfg, method="transformer_attribution",
+                         matmul_precision=precision)
+
+    batch_candidates = [int(b) for b in
+                        os.environ.get("BENCH_BATCHES", "128,64,32,16,8,4").split(",")]
+    best = None
+    for B in batch_candidates:
+        imgs = jnp.asarray(rng.randn(B, 3, 224, 224).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 1000, B), jnp.int32)
+        try:
+            np.asarray(fn(params, imgs, idx))  # warm-up + compile
+            # timed runs; NOTE: on the axon-relay backend block_until_ready
+            # does not sync, so force a (tiny) host transfer per call.
+            n_iter = max(2, int(np.ceil(128 / B)))
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = np.asarray(fn(params, imgs, idx))
+            dt = time.perf_counter() - t0
+            rate = B * n_iter / dt
+            print(f"# batch={B}: {rate:.1f} expl/s "
+                  f"({dt / n_iter * 1e3 / B:.2f} ms/expl)", file=sys.stderr)
+            if best is None or rate > best[1]:
+                best = (B, rate)
+        except Exception as e:  # OOM at large batch: fall through to smaller
+            print(f"# batch={B} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+
+    if best is None:
+        raise SystemExit("all batch sizes failed")
+
+    B, rate = best
+    print(json.dumps({
+        "metric": "vit_b16_transformer_attribution_explanations_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "explanations/s",
+        "vs_baseline": round(rate / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Device-mesh parallelism: sharded batch explanation + parameter layouts.
+
+The reference has no live parallelism (its only distributed artifact is dead
+DataParallel code, reference ``utils/parallel.py:26-64``; every CLI is a
+single-GPU batch-1 loop). The TPU-native design makes parallel scale
+first-class instead of porting that:
+
+  * **data axis**: explanation generation is embarrassingly parallel across
+    images — the batch is sharded over ``data``; no collectives are needed in
+    the explain path, so scaling is linear over ICI.
+  * **model axis**: tensor-parallel sharding of the wide kernels
+    (qkv/fc1 column-parallel, proj/fc2 row-parallel). XLA inserts the psum/
+    all-gathers over ICI from the shardings; there is no hand-written
+    communication (the "How to Scale Your Model" recipe: pick a mesh, annotate
+    shardings, let XLA place collectives).
+
+Pipeline/sequence/expert parallelism are intentionally absent: ViT-B/BERT-base
+at <=577 tokens has nothing for them to do (SURVEY §2.9, §5.7); the mesh API
+below accepts extra axes so they can be added as an axis-name change later.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transformer_explainability_tpu.models.vit import ViTConfig
+from transformer_explainability_tpu.explain import generator as gen
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def vit_param_pspecs(cfg: ViTConfig, qkv_bias: bool = True):
+    """PartitionSpecs for the ViT pytree under a (data, model) mesh.
+
+    Megatron-style: qkv/fc1 column-parallel (shard the output feature dim),
+    proj/fc2 row-parallel (shard the input feature dim); everything small is
+    replicated. Block kernels carry a leading stacked-depth axis.
+    """
+    blocks = {
+        "norm1": {"scale": P(), "bias": P()},
+        "qkv": {"kernel": P(None, None, "model")},
+        "proj": {"kernel": P(None, "model", None), "bias": P()},
+        "norm2": {"scale": P(), "bias": P()},
+        "fc1": {"kernel": P(None, None, "model"), "bias": P(None, "model")},
+        "fc2": {"kernel": P(None, "model", None), "bias": P()},
+    }
+    if qkv_bias:
+        blocks["qkv"]["bias"] = P(None, "model")
+    return {
+        "patch_embed": {"kernel": P(), "bias": P()},
+        "cls_token": P(),
+        "pos_embed": P(),
+        "blocks": blocks,
+        "norm": {"scale": P(), "bias": P()},
+        "head": {"kernel": P(), "bias": P()},
+    }
+
+
+def shard_params(params, mesh: Mesh, pspecs=None, cfg: ViTConfig = None):
+    """Device-put the parameter pytree with the given (or default) specs."""
+    if pspecs is None:
+        qkv_bias = "bias" in params["blocks"]["qkv"]
+        pspecs = vit_param_pspecs(cfg, qkv_bias)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), pspecs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)
+
+
+def make_sharded_explain_fn(cfg: ViTConfig, mesh: Mesh,
+                            method: str = "transformer_attribution",
+                            start_layer: int = 0, is_ablation: bool = False,
+                            alpha: float = 1.0, variant: str = "ours",
+                            matmul_precision: str = "float32"):
+    """Jitted explain over a mesh: images/indices sharded on ``data``, params
+    laid out per :func:`vit_param_pspecs`, heatmaps sharded on ``data``.
+
+    The per-image program is identical to the single-chip one; the mesh is
+    pure SPMD scale-out (batch must be divisible by the data-axis size).
+    """
+    def single(params, img, index):
+        with jax.default_matmul_precision(matmul_precision):
+            return gen.explain_single(params, img, index, cfg, method,
+                                      start_layer, is_ablation, alpha, variant)
+
+    batched = jax.vmap(single, in_axes=(None, 0, 0))
+    pspecs = vit_param_pspecs(cfg)
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                            is_leaf=lambda x: isinstance(x, P))
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    out_sh = data_sh
+    return jax.jit(batched,
+                   in_shardings=(param_sh, data_sh, data_sh),
+                   out_shardings=out_sh)
