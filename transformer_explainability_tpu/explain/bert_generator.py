@@ -1,0 +1,176 @@
+"""BERT explanation generators — jitted analogs of the reference
+``BERT_explainability/modules/BERT/ExplanationGenerator.py`` (Generator class,
+six methods). Same one-program design as the ViT generator; all methods return
+the CLS row over tokens (length S), with the reference's special-token
+zeroing/min-ing applied.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_explainability_tpu.models import bert as bert_mod
+from transformer_explainability_tpu.models.bert import BertConfig
+from transformer_explainability_tpu.ops import relprop as rp
+
+# method -> (needs attention-grads, needs relprop)
+METHODS = {
+    "transformer_attribution": (True, True),    # generate_LRP (:28-59)
+    "last_layer": (False, True),                # generate_LRP_last_layer (:62)
+    "full": (False, True),                      # generate_full_lrp (:85)
+    "last_layer_attn": (False, False),          # generate_attn_last_layer (:107)
+    "rollout": (False, False),                  # generate_rollout (:115)
+    "attn_gradcam": (True, False),              # generate_attn_gradcam (:128)
+}
+
+
+def _one_hot_index(logits, index, n):
+    idx = jnp.where(index >= 0, index, jnp.argmax(logits, axis=-1))
+    return jax.nn.one_hot(idx, n, dtype=logits.dtype)
+
+
+def _forward_with_attn_grads(params, input_ids, attention_mask, index,
+                             cfg: BertConfig):
+    S = input_ids.shape[0]
+
+    def score(taps):
+        logits, res = bert_mod.forward_collect(
+            params, input_ids, attention_mask, cfg, taps=taps)
+        onehot = _one_hot_index(logits, index, cfg.num_labels)
+        return jnp.sum(onehot * logits), (logits, res)
+
+    taps0 = jnp.zeros((cfg.num_layers, cfg.num_heads, S, S), jnp.float32)
+    grads, (logits, res) = jax.grad(score, has_aux=True)(taps0)
+    return logits, res, grads
+
+
+def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
+                   method: str = "transformer_attribution",
+                   start_layer: int = 11, alpha: float = 1.0,
+                   variant: str = "ours"):
+    """Per-example BERT explanation. Returns an (S,) token-relevance row."""
+    if method not in METHODS:
+        raise ValueError(
+            f"unknown method {method!r}; available: {sorted(METHODS)}")
+    needs_grads, needs_relprop = METHODS[method]
+
+    if needs_grads:
+        logits, res, attn_grads = _forward_with_attn_grads(
+            params, input_ids, attention_mask, index, cfg)
+    else:
+        logits, res = bert_mod.forward_collect(
+            params, input_ids, attention_mask, cfg)
+        attn_grads = None
+
+    if needs_relprop:
+        onehot = _one_hot_index(logits, index, cfg.num_labels)
+        R_tokens, attn_cams = bert_mod.relprop(
+            params, res, onehot, cfg, alpha=alpha, variant=variant)
+    else:
+        R_tokens = attn_cams = None
+
+    if method == "transformer_attribution":
+        cams = jnp.clip(attn_grads * attn_cams, min=0).mean(axis=1)
+        joint = rp.compute_rollout(cams, start_layer, row_normalize=True)
+        row = joint[0]
+        return row.at[0].set(row.min())          # rollout[:,0,0]=min (:58)
+
+    if method == "last_layer":
+        cam = jnp.clip(attn_cams[-1], min=0).mean(axis=0)
+        return cam[0].at[0].set(0.0)
+
+    if method == "full":
+        cam = R_tokens.sum(axis=-1)              # (S,) token relevance (:103)
+        return cam.at[0].set(0.0)
+
+    if method == "last_layer_attn":
+        cam = res.probs[-1].mean(axis=0)         # no clamp (:110-113)
+        return cam[0].at[0].set(0.0)
+
+    if method == "rollout":
+        cams = res.probs.mean(axis=1)
+        joint = rp.compute_rollout(cams, start_layer, row_normalize=True)
+        return joint[0].at[0].set(0.0)
+
+    if method == "attn_gradcam":
+        cam = res.probs[-1]
+        grad = attn_grads[-1].mean(axis=(1, 2), keepdims=True)
+        cam = jnp.clip((cam * grad).mean(axis=0), min=0)
+        cam = (cam - cam.min()) / (cam.max() - cam.min())
+        return cam[0].at[0].set(0.0)
+
+    raise AssertionError(method)
+
+
+def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
+                    start_layer: int = 11, alpha: float = 1.0,
+                    variant: str = "ours",
+                    matmul_precision: str = "float32"):
+    """Jitted, vmapped ``fn(params, input_ids, attention_mask, indices)``.
+
+    input_ids (B, S) int32; attention_mask (B, S); indices (B,) int32 with -1
+    = argmax (the reference's ``index=None``). Padding goes through the
+    attention mask exactly as in the reference, so a padded batch reproduces
+    the reference's per-example (batch-1) results.
+    """
+
+    def single(params, ids, mask, index):
+        with jax.default_matmul_precision(matmul_precision):
+            return explain_single(params, ids, mask, index, cfg, method,
+                                  start_layer, alpha, variant)
+
+    return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0)))
+
+
+class BertExplainer:
+    """Batched, compiled analog of the reference Generator class."""
+
+    def __init__(self, params, cfg: BertConfig, variant: str = "ours",
+                 matmul_precision: str = "float32"):
+        self.params = params
+        self.cfg = cfg
+        self.variant = variant
+        self.matmul_precision = matmul_precision
+        self._fns = {}
+
+    def explain(self, input_ids, attention_mask,
+                indices: Optional[np.ndarray] = None,
+                method: str = "transformer_attribution",
+                start_layer: int = 11, alpha: float = 1.0):
+        ids = jnp.asarray(input_ids, jnp.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        mask = jnp.asarray(attention_mask, jnp.float32).reshape(ids.shape)
+        B = ids.shape[0]
+        idx = (jnp.full((B,), -1, jnp.int32) if indices is None
+               else jnp.asarray(indices, jnp.int32).reshape(B))
+        key = (method, start_layer, alpha, ids.shape[1])
+        if key not in self._fns:
+            self._fns[key] = make_explain_fn(
+                self.cfg, method, start_layer, alpha, self.variant,
+                self.matmul_precision)
+        return self._fns[key](self.params, ids, mask, idx)
+
+    # reference Generator method names
+    def generate_LRP(self, ids, mask, index=None, start_layer=11):
+        return self.explain(ids, mask, index, "transformer_attribution",
+                            start_layer)
+
+    def generate_LRP_last_layer(self, ids, mask, index=None):
+        return self.explain(ids, mask, index, "last_layer")
+
+    def generate_full_lrp(self, ids, mask, index=None):
+        return self.explain(ids, mask, index, "full")
+
+    def generate_attn_last_layer(self, ids, mask, index=None):
+        return self.explain(ids, mask, index, "last_layer_attn")
+
+    def generate_rollout(self, ids, mask, start_layer=0, index=None):
+        return self.explain(ids, mask, index, "rollout", start_layer)
+
+    def generate_attn_gradcam(self, ids, mask, index=None):
+        return self.explain(ids, mask, index, "attn_gradcam")

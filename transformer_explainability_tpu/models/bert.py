@@ -1,0 +1,303 @@
+"""Explainable BERT — TPU-native (JAX) redesign.
+
+Functional re-architecture of the reference's
+``BERT_explainability/modules/BERT/BERT.py`` (BertModel rebuilt on the LRP
+op library) + ``BertForSequenceClassification.py`` (classifier head with
+``relprop`` chain). Same design as :mod:`.vit`: stacked per-layer params,
+``lax.scan`` forward storing two anchors per layer (the layer input and the
+post-attention LayerNorm output), reverse-scan relprop that recomputes the
+rest bitwise, attention-gradient taps instead of backward hooks.
+
+BERT specifics handled here (vs. ViT):
+  * post-norm residuals: Add comes *before* LayerNorm
+    (reference ``BERT.py:420-425,467-472``), so the LN-identity rule sits on
+    the other side of the residual split;
+  * separate Q/K/V Linears fed by a 3-way Clone nested inside the 2-way
+    attention Clone (``BERT.py:319,227``) — relprop merges both fan-outs;
+  * the additive attention mask enters through a renormalizing Add module
+    (``BERT.py:342``), so padding participates in the relevance split;
+  * optional head-mask Mul (``BERT.py:356,375-377``);
+  * the full-LRP chain stops at the embedding output (``BertModel.relprop``
+    never descends into ``BertEmbeddings``, ``BERT.py:645-651``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_explainability_tpu.ops import relprop as rp
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    num_labels: int = 2
+    # transformers 3.5.1 extends 0/1 masks as (1-mask)*-10000
+    # (the reference's dependency pin); newer transformers use finfo.min —
+    # configurable for exact parity against either.
+    mask_value: float = -10000.0
+    hidden_act: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+BERT_BASE_UNCASED = BertConfig()
+
+
+def _act(x: Array, name: str) -> Array:
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "tanh":
+        return jnp.tanh(x)
+    raise ValueError(name)
+
+
+def init_params(key: jax.Array, cfg: BertConfig, dtype=jnp.float32) -> Params:
+    """Random init (normal 0.02, the BERT initializer_range default)."""
+    ks = jax.random.split(key, 12)
+    D, L, I = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+
+    def nrm(k, shape):
+        return 0.02 * jax.random.normal(k, shape, dtype)
+
+    def ln():
+        return {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)}
+
+    def lin(k, fi, fo):
+        return {"kernel": nrm(k, (L, fi, fo)), "bias": jnp.zeros((L, fo), dtype)}
+
+    return {
+        "embeddings": {
+            "word": nrm(ks[0], (cfg.vocab_size, D)),
+            "position": nrm(ks[1], (cfg.max_position_embeddings, D)),
+            "token_type": nrm(ks[2], (cfg.type_vocab_size, D)),
+            "ln": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        },
+        "layers": {
+            "q": lin(ks[3], D, D), "k": lin(ks[4], D, D), "v": lin(ks[5], D, D),
+            "attn_out": lin(ks[6], D, D), "attn_ln": ln(),
+            "inter": lin(ks[7], D, I), "out": lin(ks[8], I, D), "out_ln": ln(),
+        },
+        "pooler": {"kernel": nrm(ks[9], (D, D)), "bias": jnp.zeros((D,), dtype)},
+        "classifier": {"kernel": nrm(ks[10], (D, cfg.num_labels)),
+                       "bias": jnp.zeros((cfg.num_labels,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layernorm(x, p, eps):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _heads(x: Array, cfg: BertConfig) -> Array:
+    """(S, D) -> (h, S, hd) (transpose_for_scores, BERT.py:299-302)."""
+    S = x.shape[0]
+    return x.reshape(S, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
+
+
+def _unheads(x: Array) -> Array:
+    """(h, S, hd) -> (S, D) (transpose_for_scores_relprop / context merge)."""
+    h, S, d = x.shape
+    return x.transpose(1, 0, 2).reshape(S, h * d)
+
+
+class LayerActs(NamedTuple):
+    q: Array            # (h, S, hd)
+    k: Array
+    v: Array
+    scaled: Array       # scaled scores BEFORE the mask add (h, S, S)
+    probs: Array        # post-softmax attention (h, S, S)
+    ctx: Array          # merged context (S, D) — attn_out dense input
+    dense_out: Array    # attn_out dense output (S, D) — residual add operand
+    att_mid: Array      # dense_out + x_in, pre-LN
+    inter_g: Array      # activation output (S, I) — out dense input
+    dense2: Array       # out dense output (S, D)
+
+
+def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
+                ext_mask: Array, cfg: BertConfig,
+                tap: Optional[Array] = None
+                ) -> Tuple[Array, Array, LayerActs]:
+    """One encoder layer from its input. ``att_ln`` may be passed (relprop
+    recompute path, bitwise equal to forward) or None to compute it.
+    Returns (att_ln, layer_out, acts)."""
+    q = _heads(x_in @ lp["q"]["kernel"] + lp["q"]["bias"], cfg)
+    k = _heads(x_in @ lp["k"]["kernel"] + lp["k"]["bias"], cfg)
+    v = _heads(x_in @ lp["v"]["kernel"] + lp["v"]["bias"], cfg)
+    raw = jnp.einsum("hid,hjd->hij", q, k)
+    scaled = raw / jnp.sqrt(jnp.asarray(cfg.head_dim, x_in.dtype))
+    probs = jax.nn.softmax(scaled + ext_mask, axis=-1)
+    if tap is not None:
+        probs = probs + tap
+    ctx = _unheads(jnp.einsum("hij,hjd->hid", probs, v))
+    dense_out = ctx @ lp["attn_out"]["kernel"] + lp["attn_out"]["bias"]
+    att_mid = dense_out + x_in
+    if att_ln is None:
+        att_ln = _layernorm(att_mid, lp["attn_ln"], cfg.layer_norm_eps)
+
+    inter_g = _act(att_ln @ lp["inter"]["kernel"] + lp["inter"]["bias"],
+                   cfg.hidden_act)
+    dense2 = inter_g @ lp["out"]["kernel"] + lp["out"]["bias"]
+    out = _layernorm(dense2 + att_ln, lp["out_ln"], cfg.layer_norm_eps)
+    return att_ln, out, LayerActs(q, k, v, scaled, probs, ctx, dense_out,
+                                  att_mid, inter_g, dense2)
+
+
+class Residuals(NamedTuple):
+    x0: Array        # embedding output / encoder input (S, D)
+    x_ins: Array     # (L, S, D) layer inputs
+    att_lns: Array   # (L, S, D) post-attention LN outputs
+    seq_out: Array   # encoder output (S, D)
+    first_tok: Array  # pooler dense input (D,)
+    pooled: Array    # pooled output (D,) — classifier input
+    probs: Array     # (L, h, S, S) attention probabilities
+    ext_mask: Array  # (S,) additive mask
+
+
+def embed(params: Params, input_ids: Array, token_type_ids: Array,
+          position_ids: Array, cfg: BertConfig) -> Array:
+    e = params["embeddings"]
+    x = (e["word"][input_ids] + e["position"][position_ids]
+         + e["token_type"][token_type_ids])
+    return _layernorm(x, e["ln"], cfg.layer_norm_eps)
+
+
+def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
+                    cfg: BertConfig, token_type_ids: Optional[Array] = None,
+                    position_ids: Optional[Array] = None,
+                    taps: Optional[Array] = None
+                    ) -> Tuple[Array, Residuals]:
+    """Per-example forward; input_ids (S,) int32, attention_mask (S,) {0,1}.
+    Returns (logits, residuals)."""
+    S = input_ids.shape[0]
+    if token_type_ids is None:
+        token_type_ids = jnp.zeros((S,), jnp.int32)
+    if position_ids is None:
+        position_ids = jnp.arange(S, dtype=jnp.int32)
+    x0 = embed(params, input_ids, token_type_ids, position_ids, cfg)
+    ext_mask = (1.0 - attention_mask.astype(x0.dtype)) * cfg.mask_value
+
+    def step(x, inp):
+        lp, tap = inp
+        att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap)
+        return out, (x, att_ln, acts.probs)
+
+    tap_seq = taps if taps is not None else jnp.zeros(
+        (cfg.num_layers, cfg.num_heads, S, S), x0.dtype)
+    seq_out, (x_ins, att_lns, probs) = jax.lax.scan(
+        step, x0, (params["layers"], tap_seq))
+
+    first_tok = seq_out[0]
+    pooled = jnp.tanh(first_tok @ params["pooler"]["kernel"]
+                      + params["pooler"]["bias"])
+    logits = pooled @ params["classifier"]["kernel"] + params["classifier"]["bias"]
+    res = Residuals(x0, x_ins, att_lns, seq_out, first_tok, pooled, probs,
+                    ext_mask)
+    return logits, res
+
+
+def forward(params, input_ids, attention_mask, cfg, **kw) -> Array:
+    return forward_collect(params, input_ids, attention_mask, cfg, **kw)[0]
+
+
+# ---------------------------------------------------------------------------
+# Relprop
+# ---------------------------------------------------------------------------
+
+def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
+                  ext_mask: Array, cfg: BertConfig, alpha: float,
+                  variant: str) -> Tuple[Array, Array]:
+    """LRP through one encoder layer (reference BertLayer.relprop
+    ``BERT.py:521-530`` + BertSelfAttention.relprop ``:367-409``).
+    Returns (R_in, attn_cam)."""
+    _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
+
+    # BertOutput: LN(id) -> add split -> dropout(id) -> dense
+    R1, R2 = rp.add_relprop(acts.dense2, att_ln, R, variant)
+    R1 = rp.linear_alphabeta(acts.inter_g, lp["out"]["kernel"], R1,
+                             alpha, variant)
+    # BertIntermediate: act(id) -> dense
+    R1 = rp.linear_alphabeta(att_ln, lp["inter"]["kernel"], R1, alpha, variant)
+    R_att = rp.clone_relprop(att_ln, [R1, R2])
+
+    # BertSelfOutput: LN(id) -> add split -> dropout(id) -> dense
+    R1, R2 = rp.add_relprop(acts.dense_out, x_in, R_att, variant)
+    R1 = rp.linear_alphabeta(acts.ctx, lp["attn_out"]["kernel"], R1,
+                             alpha, variant)
+
+    # BertSelfAttention
+    cam = _heads(R1, cfg)                                   # (h, S, hd)
+    cam1, cam_v = rp.einsum_av_relprop(acts.probs, acts.v, cam)
+    cam1 = cam1 / 2
+    cam_v = cam_v / 2
+    attn_cam = cam1                                         # save_attn_cam
+    # dropout, softmax: identity
+    # attention-mask Add (masked scores = scaled + ext_mask, BERT.py:342)
+    cam1, _ = rp.add_relprop(acts.scaled, jnp.broadcast_to(
+        ext_mask, acts.scaled.shape), cam1, variant)
+    cam_q, cam_k = rp.einsum_qk_relprop(acts.q, acts.k, cam1)
+    cam_q = cam_q / 2
+    cam_k = cam_k / 2
+    Rq = rp.linear_alphabeta(x_in, lp["q"]["kernel"], _unheads(cam_q),
+                             alpha, variant)
+    Rk = rp.linear_alphabeta(x_in, lp["k"]["kernel"], _unheads(cam_k),
+                             alpha, variant)
+    Rv = rp.linear_alphabeta(x_in, lp["v"]["kernel"], _unheads(cam_v),
+                             alpha, variant)
+    R_h1 = rp.clone_relprop(x_in, [Rq, Rk, Rv])      # 3-way clone (BERT.py:319)
+    R_in = rp.clone_relprop(x_in, [R_h1, R2])        # 2-way clone (BERT.py:227)
+    return R_in, attn_cam
+
+
+def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
+            alpha: float = 1.0, variant: str = "ours"
+            ) -> Tuple[Array, Array]:
+    """classifier -> dropout(id) -> pooler -> encoder reversed
+    (reference BertForSequenceClassification.relprop + BertModel.relprop).
+    Returns (R_tokens at the embedding output, stacked attn_cams)."""
+    R = rp.linear_alphabeta(res.pooled, params["classifier"]["kernel"],
+                            R_logits, alpha, variant)
+    # pooler: tanh identity -> dense -> unsqueeze -> index-select
+    R = rp.linear_alphabeta(res.first_tok, params["pooler"]["kernel"], R,
+                            alpha, variant)
+    R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
+
+    def step(Rc, xs):
+        x_in, att_ln, lp = xs
+        R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp, res.ext_mask,
+                                       cfg, alpha, variant)
+        return R_in, attn_cam
+
+    R_tokens, attn_cams = jax.lax.scan(
+        step, R, (res.x_ins, res.att_lns, params["layers"]), reverse=True)
+    return R_tokens, attn_cams
+
+
+# The reference's scaled-mask subtlety: BertSelfAttention scales raw scores
+# *outside* the MatMul module, so the Add sees post-scale scores while
+# matmul1's relprop sees pre-scale products. In `layer_relprop` the pre-scale
+# values re-enter via `einsum_qk_relprop(q, k, ...)` whose internal Z is the
+# raw q@k^T — matching ``BERT.py:338-342`` exactly.

@@ -79,6 +79,77 @@ def vit_params_from_torch_state_dict(sd: Mapping[str, Any],
     return params
 
 
+def bert_params_from_torch_state_dict(sd: Mapping[str, Any], cfg,
+                                      dtype=jnp.float32) -> Dict[str, Any]:
+    """Convert an HF BertForSequenceClassification state dict (the layout the
+    reference fine-tunes and reloads, ``bert_pipeline.py:404,426-429``) into
+    our pytree. Accepts both ``bert.``-prefixed (classification model) and
+    bare BertModel dicts."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    if any(k.startswith("bert.") for k in sd):
+        sd = {(k[5:] if k.startswith("bert.") else k): v for k, v in sd.items()}
+    L = cfg.num_layers
+
+    def stack(fmt, transpose=False):
+        return jnp.asarray(np.stack(
+            [sd[fmt.format(i)].T if transpose else sd[fmt.format(i)]
+             for i in range(L)]), dtype)
+
+    def ln(fmt):
+        return {"scale": stack(fmt + ".weight"), "bias": stack(fmt + ".bias")}
+
+    def lin(fmt):
+        return {"kernel": stack(fmt + ".weight", True),
+                "bias": stack(fmt + ".bias")}
+
+    p = "encoder.layer.{}."
+    params = {
+        "embeddings": {
+            "word": jnp.asarray(sd["embeddings.word_embeddings.weight"], dtype),
+            "position": jnp.asarray(
+                sd["embeddings.position_embeddings.weight"], dtype),
+            "token_type": jnp.asarray(
+                sd["embeddings.token_type_embeddings.weight"], dtype),
+            "ln": {"scale": jnp.asarray(sd["embeddings.LayerNorm.weight"], dtype),
+                   "bias": jnp.asarray(sd["embeddings.LayerNorm.bias"], dtype)},
+        },
+        "layers": {
+            "q": lin(p + "attention.self.query"),
+            "k": lin(p + "attention.self.key"),
+            "v": lin(p + "attention.self.value"),
+            "attn_out": lin(p + "attention.output.dense"),
+            "attn_ln": ln(p + "attention.output.LayerNorm"),
+            "inter": lin(p + "intermediate.dense"),
+            "out": lin(p + "output.dense"),
+            "out_ln": ln(p + "output.LayerNorm"),
+        },
+        "pooler": {"kernel": jnp.asarray(sd["pooler.dense.weight"].T, dtype),
+                   "bias": jnp.asarray(sd["pooler.dense.bias"], dtype)},
+    }
+    if "classifier.weight" in sd:
+        params["classifier"] = {
+            "kernel": jnp.asarray(sd["classifier.weight"].T, dtype),
+            "bias": jnp.asarray(sd["classifier.bias"], dtype)}
+    return params
+
+
+def load_bert_checkpoint(path_or_name: str, cfg, dtype=jnp.float32):
+    """Load from an HF-format directory/file (safetensors or torch .bin/.pt)."""
+    import os
+    if os.path.isdir(path_or_name):
+        st = os.path.join(path_or_name, "model.safetensors")
+        pt = os.path.join(path_or_name, "pytorch_model.bin")
+        path_or_name = st if os.path.exists(st) else pt
+    if path_or_name.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path_or_name)
+    else:
+        import torch
+        sd = torch.load(path_or_name, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+    return bert_params_from_torch_state_dict(sd, cfg, dtype)
+
+
 def load_vit_checkpoint(path: str, cfg: ViTConfig, dtype=jnp.float32):
     """Load a timm ``.pth``/DeiT checkpoint file or an ``.npz`` export.
 
