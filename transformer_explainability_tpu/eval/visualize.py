@@ -1,0 +1,138 @@
+"""Saliency-map pre-generation -> results.hdf5 — the TPU analog of reference
+``baselines/ViT/generate_visualizations.py``.
+
+Stage A of the two-stage perturbation benchmark: compute heatmaps for a
+(sub)set of ImageNet-val-like images and append them (with the *unnormalized*
+images and targets) into ``results.hdf5`` — the file contract Stage B
+(:mod:`.perturbation`) consumes. Heatmaps are min-max normalized after x16
+bilinear upsample exactly as the reference (:98-101).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_explainability_tpu.models.vit import ViTConfig, VIT_BASE_16_224
+from transformer_explainability_tpu.explain.generator import make_explain_fn
+from transformer_explainability_tpu.data.expl_hdf5 import ResultsWriter
+from transformer_explainability_tpu.data.imagenet_seg import MEAN, STD
+
+# harness method -> (explain method, variant, start_layer)
+# (reference generate_visualizations.py:70-96; 'lrp' and
+# 'transformer_attribution' are the same computation — "grad" is a legacy
+# alias, ViT_LRP.py:357)
+VIS_METHODS = {
+    "rollout": ("rollout_attn", "ours", 1),
+    "lrp": ("transformer_attribution", "ours", 1),
+    "transformer_attribution": ("transformer_attribution", "ours", 1),
+    "full_lrp": ("full", "lrp", 0),
+    "lrp_last_layer": ("last_layer", "lrp", 0),
+    "attn_last_layer": ("last_layer_attn", "ours", 0),
+    "attn_gradcam": ("attn_gradcam", "ours", 0),
+}
+
+
+def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]],
+                              params, out_path: str,
+                              cfg: ViTConfig = VIT_BASE_16_224,
+                              method: str = "transformer_attribution",
+                              vis_class: str = "top",
+                              class_id: int = 0,
+                              is_ablation: bool = False,
+                              explain_fn=None) -> int:
+    """data_iter yields (images (B,3,H,W) in [0,1] UNnormalized, targets (B,)).
+
+    vis_class: 'top' (predicted class), 'target' (ground truth), or 'index'
+    (fixed ``class_id``) — reference ``--vis-class`` (:66-68,136-140).
+    Returns the number of examples written.
+    """
+    expl_method, variant, start_layer = VIS_METHODS[method]
+    if explain_fn is None:
+        explain_fn = make_explain_fn(cfg, method=expl_method,
+                                     start_layer=start_layer,
+                                     is_ablation=is_ablation, variant=variant)
+    g = cfg.grid
+    n_written = 0
+    with ResultsWriter(out_path, cfg.img_size) as w:
+        for images, targets in data_iter:
+            B = images.shape[0]
+            if vis_class == "top":
+                idx = np.full((B,), -1, np.int32)
+            elif vis_class == "target":
+                idx = np.asarray(targets, np.int32)
+            elif vis_class == "index":
+                idx = np.full((B,), class_id, np.int32)
+            else:
+                raise ValueError(vis_class)
+
+            norm = (np.asarray(images, np.float32) - MEAN) / STD
+            heat = np.asarray(explain_fn(params, jnp.asarray(norm),
+                                         jnp.asarray(idx)), np.float32)
+            if method == "full_lrp":
+                res = heat.reshape(B, 1, cfg.img_size, cfg.img_size)
+            else:
+                res = np.asarray(jax.image.resize(
+                    jnp.asarray(heat.reshape(B, g, g)),
+                    (B, cfg.img_size, cfg.img_size), method="bilinear")
+                )[:, None]
+            # global min-max over the batch, as in the reference (:100)
+            res = (res - res.min()) / (res.max() - res.min())
+            w.append(np.asarray(images, np.float32), res,
+                     np.asarray(targets, np.int32))
+            n_written += B
+    return n_written
+
+
+def main(argv=None):
+    import argparse
+    from transformer_explainability_tpu.params.convert import (
+        load_vit_checkpoint)
+    from transformer_explainability_tpu.models.vit import init_params
+
+    p = argparse.ArgumentParser(description="Pre-generate saliency maps")
+    p.add_argument("--imagenet-dir", required=True,
+                   help="directory of class-subdir images (ImageNet-val style)")
+    p.add_argument("--method", default="transformer_attribution",
+                   choices=sorted(VIS_METHODS))
+    p.add_argument("--vis-class", default="top",
+                   choices=["top", "target", "index"])
+    p.add_argument("--class-id", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--is-ablation", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--out-dir", default="visualizations")
+    args = p.parse_args(argv)
+
+    cfg = VIT_BASE_16_224
+    if args.checkpoint:
+        params = load_vit_checkpoint(args.checkpoint, cfg)
+    else:
+        print("WARNING: no checkpoint given — using random weights")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+    if args.vis_class == "index":
+        method_dir = os.path.join(args.out_dir, args.method,
+                                  f"{args.vis_class}_{args.class_id}")
+    else:
+        ablation = "ablation" if args.is_ablation else "not_ablation"
+        method_dir = os.path.join(args.out_dir, args.method, args.vis_class,
+                                  ablation)
+    os.makedirs(method_dir, exist_ok=True)
+
+    from transformer_explainability_tpu.data.folder import folder_batches
+    it = folder_batches(args.imagenet_dir, args.batch_size, cfg.img_size,
+                        limit=args.limit)
+    n = compute_saliency_and_save(
+        it, params, os.path.join(method_dir, "results.hdf5"), cfg,
+        args.method, args.vis_class, args.class_id, args.is_ablation)
+    print(f"wrote {n} examples to {method_dir}/results.hdf5")
+
+
+if __name__ == "__main__":
+    main()
