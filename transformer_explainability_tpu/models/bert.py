@@ -223,6 +223,57 @@ def forward(params, input_ids, attention_mask, cfg, **kw) -> Array:
     return forward_collect(params, input_ids, attention_mask, cfg, **kw)[0]
 
 
+def _dropout(x: Array, rate: float, key: jax.Array) -> Array:
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def train_forward(params: Params, input_ids: Array, attention_mask: Array,
+                  cfg: BertConfig, rng: jax.Array,
+                  hidden_dropout: float = 0.1,
+                  attn_dropout: float = 0.1) -> Array:
+    """Training-mode per-example forward with HF-placement dropout (after
+    embeddings, on attention probs, after each residual dense, and on the
+    pooled output before the classifier). The eval/relprop path
+    (:func:`forward_collect`) stays dropout-free, matching the reference
+    which only ever explains models in ``.eval()`` mode."""
+    S = input_ids.shape[0]
+    x = embed(params, input_ids, jnp.zeros((S,), jnp.int32),
+              jnp.arange(S, dtype=jnp.int32), cfg)
+    ext_mask = (1.0 - attention_mask.astype(x.dtype)) * cfg.mask_value
+    rngs = jax.random.split(rng, 4 * cfg.num_layers + 2)
+    x = _dropout(x, hidden_dropout, rngs[0])
+
+    def step(x, inp):
+        lp, ks = inp
+        q = _heads(x @ lp["q"]["kernel"] + lp["q"]["bias"], cfg)
+        k = _heads(x @ lp["k"]["kernel"] + lp["k"]["bias"], cfg)
+        v = _heads(x @ lp["v"]["kernel"] + lp["v"]["bias"], cfg)
+        scaled = jnp.einsum("hid,hjd->hij", q, k) / jnp.sqrt(
+            jnp.asarray(cfg.head_dim, x.dtype))
+        probs = jax.nn.softmax(scaled + ext_mask, axis=-1)
+        probs = _dropout(probs, attn_dropout, ks[0])
+        ctx = _unheads(jnp.einsum("hij,hjd->hid", probs, v))
+        dense_out = ctx @ lp["attn_out"]["kernel"] + lp["attn_out"]["bias"]
+        dense_out = _dropout(dense_out, hidden_dropout, ks[1])
+        att_ln = _layernorm(dense_out + x, lp["attn_ln"], cfg.layer_norm_eps)
+        inter_g = _act(att_ln @ lp["inter"]["kernel"] + lp["inter"]["bias"],
+                       cfg.hidden_act)
+        dense2 = inter_g @ lp["out"]["kernel"] + lp["out"]["bias"]
+        dense2 = _dropout(dense2, hidden_dropout, ks[2])
+        out = _layernorm(dense2 + att_ln, lp["out_ln"], cfg.layer_norm_eps)
+        return out, None
+
+    layer_keys = rngs[1:1 + 4 * cfg.num_layers].reshape(
+        (cfg.num_layers, 4) + rngs.shape[1:])
+    seq_out, _ = jax.lax.scan(step, x, (params["layers"], layer_keys))
+    pooled = jnp.tanh(seq_out[0] @ params["pooler"]["kernel"]
+                      + params["pooler"]["bias"])
+    pooled = _dropout(pooled, hidden_dropout, rngs[-1])
+    return pooled @ params["classifier"]["kernel"] + params["classifier"]["bias"]
+
+
 # ---------------------------------------------------------------------------
 # Relprop
 # ---------------------------------------------------------------------------
