@@ -10,7 +10,7 @@ is actually being read.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -148,6 +148,120 @@ def load_bert_checkpoint(path_or_name: str, cfg, dtype=jnp.float32):
         sd = torch.load(path_or_name, map_location="cpu", weights_only=False)
         sd = sd.get("state_dict", sd)
     return bert_params_from_torch_state_dict(sd, cfg, dtype)
+
+
+# Public checkpoint registry — the reference's ``default_cfgs``
+# (ViT_LRP.py:24-36) + the DeiT torch.hub URL (:432-435). Zero-egress
+# environments pass a local file instead; URLs are kept for parity/docs.
+DEFAULT_CFGS = {
+    "vit_base_patch16_224": {
+        "url": "https://github.com/rwightman/pytorch-image-models/releases/"
+               "download/v0.1-vitjx/jx_vit_base_p16_224-80ecf9dd.pth",
+        "num_classes": 1000, "in_chans": 3,
+    },
+    "vit_large_patch16_224": {
+        "url": "https://github.com/rwightman/pytorch-image-models/releases/"
+               "download/v0.1-vitjx/jx_vit_large_p16_224-4ee7a4dc.pth",
+        "num_classes": 1000, "in_chans": 3,
+    },
+    "deit_base_patch16_224": {
+        "url": "https://dl.fbaipublicfiles.com/deit/"
+               "deit_base_patch16_224-b5f2ef4d.pth",
+        "num_classes": 1000, "in_chans": 3,
+    },
+}
+
+
+def adapt_first_conv(kernel: np.ndarray, in_chans: int,
+                     patch: int) -> Optional[np.ndarray]:
+    """Adapt a patch-embed kernel (C*P*P, D) trained on 3 channels to
+    ``in_chans`` input channels (reference ``helpers.py:99-134``):
+    1 channel -> sum over RGB; otherwise tile channels and rescale by
+    3/in_chans; returns None when no sane adaptation exists."""
+    k = np.asarray(kernel, np.float32)
+    D = k.shape[1]
+    k3 = k.reshape(3, patch * patch, D)          # channel-major flatten
+    if in_chans == 1:
+        return k3.sum(axis=0).reshape(patch * patch, D)
+    if in_chans == 3:
+        return k
+    repeat = -(-in_chans // 3)
+    kc = np.tile(k3, (repeat, 1, 1))[:in_chans] * (3.0 / in_chans)
+    return kc.reshape(in_chans * patch * patch, D)
+
+
+def adapt_classifier(head: Dict[str, Any], num_classes: int,
+                     pretrained_classes: int, key=None):
+    """Classifier head resizing (reference ``helpers.py:137-147``):
+    1001->1000 drops the background class; any other mismatch reinitializes
+    (the reference deletes + falls back to the model's random init)."""
+    kernel, bias = np.asarray(head["kernel"]), np.asarray(head["bias"])
+    if num_classes == pretrained_classes:
+        return head
+    if num_classes == 1000 and pretrained_classes == 1001:
+        return {"kernel": jnp.asarray(kernel[:, 1:]),
+                "bias": jnp.asarray(bias[1:])}
+    import jax
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    D = kernel.shape[0]
+    return {"kernel": 0.02 * jax.random.truncated_normal(
+                key, -2.0, 2.0, (D, num_classes), jnp.float32),
+            "bias": jnp.zeros((num_classes,), jnp.float32)}
+
+
+def resize_pos_embed(pos_embed: np.ndarray, new_tokens: int) -> np.ndarray:
+    """Bilinear grid interpolation of the (1+N, D) position table for a
+    different image resolution — the timm capability the TPU build adds so
+    one checkpoint serves multiple input sizes."""
+    import jax
+    pe = np.asarray(pos_embed)
+    if pe.shape[0] == new_tokens:
+        return pe
+    cls, grid = pe[:1], pe[1:]
+    g_old = int(np.sqrt(grid.shape[0]))
+    g_new = int(np.sqrt(new_tokens - 1))
+    grid = grid.reshape(g_old, g_old, -1)
+    grid = np.asarray(jax.image.resize(
+        jnp.asarray(grid), (g_new, g_new, grid.shape[-1]), "bilinear"))
+    return np.concatenate([cls, grid.reshape(g_new * g_new, -1)], axis=0)
+
+
+def adapt_pretrained(params: Dict[str, Any], cfg: ViTConfig,
+                     pretrained_classes: int = 1000, key=None
+                     ) -> Dict[str, Any]:
+    """Apply all checkpoint->model adaptations (first conv channels,
+    classifier size, pos-embed grid) in one call."""
+    params = dict(params)
+    k = adapt_first_conv(params["patch_embed"]["kernel"], cfg.in_chans,
+                         cfg.patch_size)
+    if k is not None:
+        params["patch_embed"] = dict(params["patch_embed"],
+                                     kernel=jnp.asarray(k))
+    params["head"] = adapt_classifier(params["head"], cfg.num_classes,
+                                      pretrained_classes, key)
+    params["pos_embed"] = jnp.asarray(
+        resize_pos_embed(params["pos_embed"], cfg.num_tokens))
+    return params
+
+
+def save_vit_npz(path: str, params: Dict[str, Any]) -> None:
+    """Flat .npz export of a parameter pytree (the orbax-free interchange
+    format; loadable by :func:`load_vit_checkpoint` only via pytrees —
+    use ``load_npz_pytree`` to restore)."""
+    import jax
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
+                      for k, v in flat})
+
+
+def load_npz_pytree(path: str, like):
+    import jax
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(data[jax.tree_util.keystr(k)])
+                  for k, _ in leaves])
 
 
 def load_vit_checkpoint(path: str, cfg: ViTConfig, dtype=jnp.float32):
