@@ -37,10 +37,22 @@ def load_image(path: str, size: int = 224) -> np.ndarray:
     return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
 
 
+def _load_image_u8(path: str, size: int) -> np.ndarray:
+    """-> (size, size, 3) uint8 — decode/resize only; the float conversion
+    happens batched in the native library."""
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
 def folder_batches(root: str, batch_size: int, size: int = 224,
-                   limit: Optional[int] = None, prefetch: int = 2
-                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (images (B,3,S,S) [0,1], targets (B,)) with a prefetch thread."""
+                   limit: Optional[int] = None, prefetch: int = 2,
+                   normalize=None) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (images (B,3,S,S), targets (B,)) with a prefetch thread.
+
+    ``normalize=None`` yields [0,1] floats (the hdf5 contract);
+    ``normalize=(mean, std)`` yields normalized floats via the native
+    multithreaded uint8->CHW kernel
+    (:mod:`transformer_explainability_tpu.native`)."""
     paths, targets, _ = list_folder(root)
     n = len(paths) if limit is None else min(limit, len(paths))
 
@@ -48,9 +60,14 @@ def folder_batches(root: str, batch_size: int, size: int = 224,
     DONE = object()
 
     def worker():
+        from transformer_explainability_tpu import native
         for s in range(0, n, batch_size):
             e = min(s + batch_size, n)
-            imgs = np.stack([load_image(p, size) for p in paths[s:e]])
+            if normalize is not None:
+                u8 = np.stack([_load_image_u8(p, size) for p in paths[s:e]])
+                imgs = native.normalize_chw(u8, *normalize)
+            else:
+                imgs = np.stack([load_image(p, size) for p in paths[s:e]])
             q.put((imgs, targets[s:e]))
         q.put(DONE)
 
