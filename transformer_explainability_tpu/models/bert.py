@@ -200,7 +200,10 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
     x0 = embed(params, input_ids, token_type_ids, position_ids, cfg)
     ext_mask = (1.0 - attention_mask.astype(x0.dtype)) * cfg.mask_value
 
+    @jax.checkpoint
     def step(x, inp):
+        # remat: see vit.forward_collect — backward recomputes layer
+        # internals from the carried anchors.
         lp, tap = inp
         att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap)
         return out, (x, att_ln, acts.probs)

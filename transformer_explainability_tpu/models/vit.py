@@ -229,7 +229,12 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
     """
     cat_x, x0 = embed(params, img, cfg)
 
+    @jax.checkpoint
     def step(x, inp):
+        # remat: the attention-gradient backward (jax.grad over the taps)
+        # recomputes block internals instead of keeping ~10 (n,D)/(h,n,n)
+        # tensors per block alive — the HBM trade that unlocks large
+        # explanation batches (SURVEY §7 'remat trade').
         bp, tap = inp
         x_mid, x_out, acts = _block_acts(x, bp, cfg, tap)
         return x_out, (x, x_mid, acts.attn)
