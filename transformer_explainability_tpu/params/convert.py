@@ -246,22 +246,15 @@ def adapt_pretrained(params: Dict[str, Any], cfg: ViTConfig,
 
 
 def save_vit_npz(path: str, params: Dict[str, Any]) -> None:
-    """Flat .npz export of a parameter pytree (the orbax-free interchange
-    format; loadable by :func:`load_vit_checkpoint` only via pytrees —
-    use ``load_npz_pytree`` to restore)."""
-    import jax
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
-                      for k, v in flat})
+    """Flat .npz export of a parameter pytree (the interchange format; restore
+    with :func:`load_npz_pytree`)."""
+    from transformer_explainability_tpu.utils.checkpoint import save_pytree
+    save_pytree(path, params)
 
 
 def load_npz_pytree(path: str, like):
-    import jax
-    data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(data[jax.tree_util.keystr(k)])
-                  for k, _ in leaves])
+    from transformer_explainability_tpu.utils.checkpoint import load_pytree
+    return load_pytree(path, like)
 
 
 def load_vit_checkpoint(path: str, cfg: ViTConfig, dtype=jnp.float32):

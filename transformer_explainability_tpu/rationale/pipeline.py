@@ -149,18 +149,8 @@ def make_eval_step(cfg: BertConfig):
     return step
 
 
-def _save_pytree(path: str, tree) -> None:
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
-                      for k, v in flat})
-
-
-def _load_pytree(path: str, like):
-    data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(data[jax.tree_util.keystr(k)])
-                  for k, _ in leaves])
+from transformer_explainability_tpu.utils.checkpoint import (
+    load_pytree as _load_pytree, save_pytree as _save_pytree)
 
 
 def train_classifier(params, cfg: BertConfig, train: List[Annotation],

@@ -1,0 +1,49 @@
+"""Profiling / timing helpers (SURVEY §5.1: the reference has none; the TPU
+build standardizes on ``jax.profiler`` traces + transfer-synced wall timing).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/jax-trace"):
+    """TensorBoard-viewable device trace around a block::
+
+        with profiling.trace("/tmp/trace"):
+            fn(args)
+    """
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def sync(tree) -> None:
+    """Block until ready AND force a host transfer of one leaf — on relay
+    backends (axon) ``block_until_ready`` alone does not sync."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        jax.block_until_ready(leaves)
+        np.asarray(leaves[0])
+
+
+def timeit(fn: Callable, *args, iters: int = 8, warmup: int = 1,
+           name: Optional[str] = None, quiet: bool = False) -> float:
+    """Mean seconds per call, compile excluded (transfer-synced)."""
+    for _ in range(warmup):
+        sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sync(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    if not quiet:
+        print(f"{name or getattr(fn, '__name__', 'fn')}: {dt * 1e3:.2f} ms")
+    return dt
