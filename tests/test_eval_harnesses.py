@@ -1,0 +1,156 @@
+"""Integration tests for the three ViT evaluation harnesses (tiny config,
+CPU) + seg-metric parity vs the reference's torch implementation."""
+
+import numpy as np
+import jax
+import pytest
+
+from conftest import requires_reference
+
+from transformer_explainability_tpu.models.vit import ViTConfig, init_params
+from transformer_explainability_tpu.eval import seg as seg_mod
+from transformer_explainability_tpu.eval import visualize as vis_mod
+from transformer_explainability_tpu.eval import perturbation as pert_mod
+from transformer_explainability_tpu.explain.generator import make_explain_fn
+from transformer_explainability_tpu.data.expl_hdf5 import ImagenetResults
+from transformer_explainability_tpu.utils import metrics as M
+
+TINY = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                 num_heads=2, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_params(jax.random.PRNGKey(0), TINY)
+
+
+class _SynthSegDataset:
+    """Stands in for ImagenetSegmentation: (normalized image, binary label)."""
+
+    def __init__(self, n=6, size=32, seed=0):
+        rng = np.random.RandomState(seed)
+        self.items = []
+        for _ in range(n):
+            img = rng.randn(3, size, size).astype(np.float32)
+            lbl = (rng.rand(size, size) > 0.5).astype(np.int64)
+            self.items.append((img, lbl))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_seg_eval_end_to_end(tiny_params, tmp_path):
+    ds = _SynthSegDataset(size=TINY.img_size)
+    fn = make_explain_fn(TINY, method="transformer_attribution",
+                         start_layer=1)
+    res = seg_mod.run_seg_eval(ds, tiny_params, TINY,
+                               method="transformer_attribution",
+                               batch_size=3, explain_fn=fn,
+                               save_dir=str(tmp_path), progress=False)
+    for k in ("pixAcc", "mIoU", "mAP", "mF1"):
+        assert 0.0 <= res[k] <= 1.0, (k, res)
+    import os
+    names = os.listdir(tmp_path)
+    assert "precision.npy" in names and "recall.npy" in names
+    assert any(n.startswith("result_mIoU_") for n in names)
+
+
+def test_seg_full_lrp_method(tiny_params):
+    ds = _SynthSegDataset(n=2, size=TINY.img_size)
+    res = seg_mod.run_seg_eval(ds, tiny_params, TINY, method="full_lrp",
+                               batch_size=2, progress=False)
+    assert np.isfinite(list(res.values())).all()
+
+
+def test_visualize_perturbation_roundtrip(tiny_params, tmp_path):
+    """Stage A writes results.hdf5; stage B consumes it — the reference's
+    two-stage file contract."""
+    pytest.importorskip("h5py")
+    rng = np.random.RandomState(0)
+    n, B = 6, 3
+
+    def data_iter():
+        for s in range(0, n, B):
+            imgs = rng.rand(B, 3, TINY.img_size, TINY.img_size).astype(
+                np.float32)
+            tgts = rng.randint(0, TINY.num_classes, B)
+            yield imgs, tgts
+
+    out = str(tmp_path / "results.hdf5")
+    wrote = vis_mod.compute_saliency_and_save(
+        data_iter(), tiny_params, out, TINY,
+        method="transformer_attribution", vis_class="target")
+    assert wrote == n
+
+    ds = ImagenetResults(out)
+    assert len(ds) == n
+    img, vis, tgt = ds[0:2]
+    assert img.shape == (2, 3, 32, 32) and vis.shape == (2, 1, 32, 32)
+    assert np.isfinite(vis).all() and vis.min() >= 0 and vis.max() <= 1
+
+    res = pert_mod.run_perturbation_eval(
+        ds, tiny_params, TINY, neg=False, batch_size=4,
+        save_dir=str(tmp_path / "pert"), progress=False)
+    assert res["perturbations_hits"].shape == (9, n)
+    assert np.isfinite(res["auc"])
+    # positive perturbation accuracy curve should not exceed base accuracy
+    # at every step for a *random* model only loosely, so just check ranges
+    assert ((0 <= res["step_accuracy"]) & (res["step_accuracy"] <= 1)).all()
+    import os
+    assert os.path.exists(tmp_path / "pert" / "perturbations_hits.npy")
+
+    # negative run flips the ordering
+    res_neg = pert_mod.run_perturbation_eval(
+        ds, tiny_params, TINY, neg=True, batch_size=4, progress=False)
+    assert res_neg["perturbations_hits"].shape == (9, n)
+
+
+def test_vis_class_modes(tiny_params, tmp_path):
+    rng = np.random.RandomState(1)
+    it = [(rng.rand(2, 3, 32, 32).astype(np.float32),
+           rng.randint(0, 10, 2))]
+    for mode in ("top", "index"):
+        out = str(tmp_path / f"{mode}.hdf5")
+        n = vis_mod.compute_saliency_and_save(
+            iter(it), tiny_params, out, TINY, method="rollout",
+            vis_class=mode, class_id=3)
+        assert n == 2
+
+
+@requires_reference
+def test_seg_metrics_parity_vs_reference():
+    """batch_pix_accuracy / batch_intersection_union / AP / F1 match the
+    reference's torch implementations on random maps."""
+    import torch
+    from utils import metrices as ref_M
+
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        output = rng.rand(2, 16, 16).astype(np.float32)     # (K=2, H, W)
+        label = (rng.rand(16, 16) > 0.4).astype(np.int64)
+
+        # reference takes (K, H, W) / (H, W) for the pixel metrics
+        rc, rl = ref_M.batch_pix_accuracy(torch.tensor(output),
+                                          torch.tensor(label))
+        gc, gl = M.batch_pix_accuracy(output, label)
+        assert (int(rc), int(rl)) == (int(gc), int(gl))
+
+        ri, ru = ref_M.batch_intersection_union(torch.tensor(output),
+                                                torch.tensor(label), 2)
+        gi, gu = M.batch_intersection_union(output, label, 2)
+        np.testing.assert_array_equal(np.asarray(ri), gi)
+        np.testing.assert_array_equal(np.asarray(ru), gu)
+
+        t_out = torch.tensor(output[None])                   # (1, K, H, W)
+        t_lab = torch.tensor(label[None])
+        rap = ref_M.get_ap_scores(t_out, t_lab)
+        gap = M.get_ap_scores(output[None], label[None])
+        np.testing.assert_allclose(rap, gap, rtol=1e-6)
+
+        pred1 = (output[1] > 0.5).astype(np.float32)
+        rf1 = ref_M.get_f1_scores(torch.tensor(pred1[None]), t_lab)
+        gf1 = M.get_f1_scores(pred1, label)
+        np.testing.assert_allclose(rf1, gf1, rtol=1e-6)
