@@ -16,6 +16,7 @@ import numpy as np
 from transformer_explainability_tpu.models import bert as bert_mod
 from transformer_explainability_tpu.models.bert import BertConfig
 from transformer_explainability_tpu.ops import relprop as rp
+from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 # method -> (needs attention-grads, needs relprop)
 METHODS = {
@@ -58,24 +59,21 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
             f"unknown method {method!r}; available: {sorted(METHODS)}")
     needs_grads, needs_relprop = METHODS[method]
 
-    if needs_grads:
-        logits, res, attn_grads = _forward_with_attn_grads(
-            params, input_ids, attention_mask, index, cfg)
-    else:
-        logits, res = bert_mod.forward_collect(
-            params, input_ids, attention_mask, cfg)
-        attn_grads = None
-
-    if needs_relprop:
+    logits, res = bert_mod.forward_collect(
+        params, input_ids, attention_mask, cfg)
+    if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_labels)
-        R_tokens, attn_cams = bert_mod.relprop(
-            params, res, onehot, cfg, alpha=alpha, variant=variant)
+        # fused reverse scan (bert.reverse_pass): gradients + relprop share
+        # one layer recompute
+        R_tokens, attn_cams, attn_grads = bert_mod.reverse_pass(
+            params, res, onehot, cfg, alpha=alpha, variant=variant,
+            need_grads=needs_grads, need_relprop=needs_relprop)
     else:
-        R_tokens = attn_cams = None
+        R_tokens = attn_cams = attn_grads = None
 
     if method == "transformer_attribution":
-        cams = jnp.clip(attn_grads * attn_cams, min=0).mean(axis=1)
-        joint = rp.compute_rollout(cams, start_layer, row_normalize=True)
+        joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer,
+                                         row_normalize=True)
         row = joint[0]
         return row.at[0].set(row.min())          # rollout[:,0,0]=min (:58)
 

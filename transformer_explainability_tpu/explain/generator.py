@@ -31,6 +31,7 @@ import numpy as np
 from transformer_explainability_tpu.models import vit as vit_mod
 from transformer_explainability_tpu.models.vit import ViTConfig
 from transformer_explainability_tpu.ops import relprop as rp
+from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 Array = jax.Array
 
@@ -88,29 +89,25 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         is_ablation and method in ("last_layer", "second_layer"))
     needs_relprop = METHODS[method][1]
 
-    if needs_grads:
-        logits, res, attn_grads = _forward_with_attn_grads(
-            params, img, index, cfg)
-    else:
-        logits, res = vit_mod.forward_collect(params, img, cfg)
-        attn_grads = None
-
-    if needs_relprop:
+    logits, res = vit_mod.forward_collect(params, img, cfg)
+    if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
-        R_tokens, attn_cams = vit_mod.relprop(
-            params, res, onehot, cfg, alpha=alpha, variant=variant)
+        # one fused reverse scan: class gradients + relprop share a single
+        # block recompute (see vit.reverse_pass)
+        R_tokens, attn_cams, attn_grads = vit_mod.reverse_pass(
+            params, res, onehot, cfg, alpha=alpha, variant=variant,
+            need_grads=needs_grads, need_relprop=needs_relprop)
     else:
-        R_tokens = attn_cams = None
+        R_tokens = attn_cams = attn_grads = None
 
     if method in ("transformer_attribution", "grad"):
         # per block: (grad ⊙ cam)⁺ head-mean, then rollout (ViT_LRP.py:357-369)
-        cams = jnp.clip(attn_grads * attn_cams, min=0).mean(axis=1)
-        joint = rp.compute_rollout(cams, start_layer)
+        # — fused Pallas chain on TPU, jnp fallback elsewhere
+        joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer)
         return joint[0, 1:]
 
     if method == "rollout":
-        cams = jnp.clip(attn_cams, min=0).mean(axis=1)
-        joint = rp.compute_rollout(cams, start_layer)
+        joint = pk.rollout_from_grad_cam(attn_cams, None, start_layer)
         return joint[0, 1:]
 
     if method == "full":
@@ -140,9 +137,10 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
 
     if method == "rollout_attn":
         # raw-attention rollout baseline, row-normalized
-        # (ViT_explanation_generator.py:7-18,74-83)
-        cams = res.attns.mean(axis=1)
-        joint = rp.compute_rollout(cams, start_layer, row_normalize=True)
+        # (ViT_explanation_generator.py:7-18,74-83); attention probs are
+        # non-negative so the kernel's relu is a no-op
+        joint = pk.rollout_from_grad_cam(res.attns, None, start_layer,
+                                         row_normalize=True)
         return joint[0, 1:]
 
     raise ValueError(f"unknown method {method!r}")

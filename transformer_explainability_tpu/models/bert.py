@@ -283,11 +283,13 @@ def train_forward(params: Params, input_ids: Array, attention_mask: Array,
 
 def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
                   ext_mask: Array, cfg: BertConfig, alpha: float,
-                  variant: str) -> Tuple[Array, Array]:
+                  variant: str, acts: Optional[LayerActs] = None
+                  ) -> Tuple[Array, Array]:
     """LRP through one encoder layer (reference BertLayer.relprop
     ``BERT.py:521-530`` + BertSelfAttention.relprop ``:367-409``).
     Returns (R_in, attn_cam)."""
-    _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
+    if acts is None:
+        _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
 
     # BertOutput: LN(id) -> add split -> dropout(id) -> dense
     R1, R2 = rp.add_relprop(acts.dense2, att_ln, R, variant)
@@ -348,6 +350,66 @@ def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
     R_tokens, attn_cams = jax.lax.scan(
         step, R, (res.x_ins, res.att_lns, params["layers"]), reverse=True)
     return R_tokens, attn_cams
+
+
+def reverse_pass(params: Params, res: Residuals, onehot: Array,
+                 cfg: BertConfig, alpha: float = 1.0, variant: str = "ours",
+                 need_grads: bool = True, need_relprop: bool = True
+                 ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
+    """Fused reverse scan: class gradient w.r.t. every post-softmax attention
+    map + LRP relevance, sharing one recompute per layer (see
+    :func:`transformer_explainability_tpu.models.vit.reverse_pass`).
+    Returns (R_tokens, attn_cams, attn_grads)."""
+    S = res.seq_out.shape[0]
+    g_final = None
+    if need_grads:
+        def tail(seq_out):
+            pooled = jnp.tanh(seq_out[0] @ params["pooler"]["kernel"]
+                              + params["pooler"]["bias"])
+            logits = (pooled @ params["classifier"]["kernel"]
+                      + params["classifier"]["bias"])
+            return jnp.sum(onehot * logits)
+        g_final = jax.grad(tail)(res.seq_out)
+
+    R = None
+    if need_relprop:
+        R = rp.linear_alphabeta(res.pooled, params["classifier"]["kernel"],
+                                onehot, alpha, variant)
+        R = rp.linear_alphabeta(res.first_tok, params["pooler"]["kernel"], R,
+                                alpha, variant)
+        R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
+
+    tap0 = jnp.zeros((cfg.num_heads, S, S), res.seq_out.dtype)
+
+    def step(carry, xs):
+        g_out, Rc = carry
+        x_in, att_ln, lp = xs
+        if need_grads:
+            def layer(x, tap):
+                _, out, acts = _layer_acts(x, None, lp, res.ext_mask, cfg,
+                                           tap)
+                return out, acts
+            (out, acts), vjp = jax.vjp(layer, x_in, tap0)
+            zero_acts = jax.tree.map(jnp.zeros_like, acts)
+            g_in, g_tap = vjp((g_out, zero_acts))
+        else:
+            _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg)
+            g_in, g_tap = g_out, None
+        if need_relprop:
+            R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp,
+                                           res.ext_mask, cfg, alpha, variant,
+                                           acts=acts)
+        else:
+            R_in, attn_cam = Rc, None
+        return (g_in, R_in), (attn_cam, g_tap)
+
+    (_, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
+        step, (g_final if need_grads else jnp.zeros(()),
+               R if need_relprop else jnp.zeros(())),
+        (res.x_ins, res.att_lns, params["layers"]), reverse=True)
+    return (R_tokens if need_relprop else None,
+            attn_cams if need_relprop else None,
+            attn_grads if need_grads else None)
 
 
 # The reference's scaled-mask subtlety: BertSelfAttention scales raw scores

@@ -262,12 +262,16 @@ def forward(params: Params, img: Array, cfg: ViTConfig) -> Array:
 # ---------------------------------------------------------------------------
 
 def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
-                  cfg: ViTConfig, alpha: float, variant: str
+                  cfg: ViTConfig, alpha: float, variant: str,
+                  acts: Optional[BlockActs] = None
                   ) -> Tuple[Array, Array, Array]:
     """LRP through one block, reverse order (reference ViT_LRP.py:203-213 and
     Attention.relprop :154-177). Recomputes the block's activations from the
-    (x_in, x_mid) anchors. Returns (R_in, attn_cam, v_cam)."""
-    acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
+    (x_in, x_mid) anchors unless ``acts`` is supplied (the fused reverse pass
+    shares one recompute between gradient and relevance).
+    Returns (R_in, attn_cam, v_cam)."""
+    if acts is None:
+        acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
 
     # add2 -> mlp -> norm2(id) -> clone2
     R1, R2 = rp.add_relprop(x_mid, acts.mlp_out, R, variant)
@@ -345,6 +349,72 @@ def relprop(params: Params, res: Residuals, R_logits: Array, cfg: ViTConfig,
     R_tokens, attn_cams = jax.lax.scan(
         step, R, (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
     return R_tokens, attn_cams
+
+
+def reverse_pass(params: Params, res: Residuals, onehot: Array,
+                 cfg: ViTConfig, alpha: float = 1.0, variant: str = "ours",
+                 need_grads: bool = True, need_relprop: bool = True
+                 ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
+    """ONE reverse scan computing the class gradient w.r.t. every post-softmax
+    attention map AND the LRP relevance chain, sharing a single recompute of
+    each block's activations.
+
+    Replaces the reference's two separate machineries — ``one_hot.backward``
+    filling ``attn.register_hook`` gradients (ViT_LRP.py:144-145,
+    ViT_explanation_generator.py:31-38) and the Python relprop walk
+    (ViT_LRP.py:324-332) — with a fused ``lax.scan``: per block, ``jax.vjp``
+    of the block body at tap=0 yields (dL/dx_in, dL/dattn) while its forward
+    recompute feeds the relprop rules directly.
+
+    Returns (R_tokens, attn_cams, attn_grads); entries are None when the
+    corresponding ``need_*`` flag is False (and XLA never computes them).
+    """
+    # gradient seed through the tail: x_final -> LN -> CLS -> head -> score
+    g_final = None
+    if need_grads:
+        def tail(x_final):
+            xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
+            logits = xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
+            return jnp.sum(onehot * logits)
+        g_final = jax.grad(tail)(res.x_final)
+
+    # relevance seed: head -> pool -> final norm(identity) (ViT_LRP.py:327-330)
+    R = None
+    if need_relprop:
+        R = rp.linear_alphabeta(res.cls, params["head"]["kernel"], onehot,
+                                alpha, variant)
+        R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R[None, :])
+
+    tap0 = jnp.zeros((cfg.num_heads, cfg.num_tokens, cfg.num_tokens),
+                     res.x_final.dtype)
+
+    def step(carry, xs):
+        g_out, Rc = carry
+        x_in, x_mid, bp = xs
+        if need_grads:
+            def block(x, tap):
+                _, x_out, acts = _block_acts(x, bp, cfg, tap)
+                return x_out, acts
+            (x_out, acts), vjp = jax.vjp(block, x_in, tap0)
+            zero_acts = jax.tree.map(jnp.zeros_like, acts)
+            g_in, g_tap = vjp((g_out, zero_acts))
+        else:
+            acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
+            g_in, g_tap = g_out, None
+        if need_relprop:
+            R_in, attn_cam, _ = block_relprop(Rc, x_in, x_mid, bp, cfg,
+                                              alpha, variant, acts=acts)
+        else:
+            R_in, attn_cam = Rc, None
+        return (g_in, R_in), (attn_cam, g_tap)
+
+    (g0, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
+        step, (g_final if need_grads else jnp.zeros(()), R if need_relprop
+               else jnp.zeros(())),
+        (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
+    return (R_tokens if need_relprop else None,
+            attn_cams if need_relprop else None,
+            attn_grads if need_grads else None)
 
 
 def full_lrp_input_relevance(params: Params, res: Residuals, R_tokens: Array,
