@@ -104,11 +104,11 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         # per block: (grad ⊙ cam)⁺ head-mean, then rollout (ViT_LRP.py:357-369)
         # — fused Pallas chain on TPU, jnp fallback elsewhere
         joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer)
-        return joint[0, 1:]
+        return joint[0, cfg.num_prefix_tokens:]
 
     if method == "rollout":
         joint = pk.rollout_from_grad_cam(attn_cams, None, start_layer)
-        return joint[0, 1:]
+        return joint[0, cfg.num_prefix_tokens:]
 
     if method == "full":
         return vit_mod.full_lrp_input_relevance(
@@ -120,17 +120,17 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         if is_ablation:
             cam = attn_grads[li] * cam
         cam = jnp.clip(cam, min=0).mean(axis=0)
-        return cam[0, 1:]
+        return cam[0, cfg.num_prefix_tokens:]
 
     if method == "last_layer_attn":
         cam = jnp.clip(res.attns[-1], min=0).mean(axis=0)
-        return cam[0, 1:]
+        return cam[0, cfg.num_prefix_tokens:]
 
     if method == "attn_gradcam":
         # GradCAM on the last attention map (ViT_explanation_generator.py:50-71)
         g = cfg.grid
-        cam = res.attns[-1][:, 0, 1:].reshape(-1, g, g)
-        grad = attn_grads[-1][:, 0, 1:].reshape(-1, g, g)
+        cam = res.attns[-1][:, 0, cfg.num_prefix_tokens:].reshape(-1, g, g)
+        grad = attn_grads[-1][:, 0, cfg.num_prefix_tokens:].reshape(-1, g, g)
         grad = grad.mean(axis=(1, 2), keepdims=True)
         cam = jnp.clip((cam * grad).mean(axis=0), min=0)
         return (cam - cam.min()) / (cam.max() - cam.min())
@@ -141,7 +141,7 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         # non-negative so the kernel's relu is a no-op
         joint = pk.rollout_from_grad_cam(res.attns, None, start_layer,
                                          row_normalize=True)
-        return joint[0, 1:]
+        return joint[0, cfg.num_prefix_tokens:]
 
     raise ValueError(f"unknown method {method!r}")
 

@@ -53,6 +53,11 @@ class ViTConfig:
     # the final norm uses the 1e-5 default (ViT_LRP.py:266).
     block_ln_eps: float = 1e-6
     final_ln_eps: float = 1e-5
+    # DeiT distillation token (timm deit_base_distilled_*). The reference's
+    # DeiT path has NO distillation token (ViT_LRP.py:427-436 loads the
+    # non-distilled checkpoint into the plain ViT); this is a TPU-build
+    # extension: eval logits = (head(cls) + head_dist(dist)) / 2.
+    distilled: bool = False
 
     @property
     def grid(self) -> int:
@@ -63,8 +68,12 @@ class ViTConfig:
         return self.grid * self.grid
 
     @property
+    def num_prefix_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @property
     def num_tokens(self) -> int:
-        return self.num_patches + 1
+        return self.num_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -80,6 +89,7 @@ VIT_LARGE_16_224 = ViTConfig(embed_dim=1024, depth=24, num_heads=16)
 # DeiT-base in the reference loads into the identical architecture — the repo
 # has no distillation-token path (reference ViT_LRP.py:427-436).
 DEIT_BASE_16_224 = ViTConfig()
+DEIT_BASE_DISTILLED_16_224 = ViTConfig(distilled=True)
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +125,10 @@ def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
         },
         "cls_token": _trunc_normal(ks[1], (1, D), dtype=dtype),
         "pos_embed": _trunc_normal(ks[2], (cfg.num_tokens, D), dtype=dtype),
+        **({"dist_token": _trunc_normal(ks[8], (1, D), dtype=dtype),
+            "head_dist": {"kernel": _trunc_normal(ks[9], (D, C), dtype=dtype),
+                          "bias": jnp.zeros((C,), dtype)}}
+           if cfg.distilled else {}),
         "blocks": {
             "norm1": ln(),
             "qkv": lin(ks[3], D, 3 * D),
@@ -211,10 +225,14 @@ class Residuals(NamedTuple):
 
 
 def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
-    """Patchify-matmul embedding + CLS concat; returns (cat_x, x0)."""
+    """Patchify-matmul embedding + CLS (and optional DIST) concat; returns
+    (cat_x, x0)."""
     patches = rp.patchify(img, cfg.patch_size)
     tok = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
-    cat_x = jnp.concatenate([params["cls_token"], tok], axis=0)
+    prefix = [params["cls_token"]]
+    if cfg.distilled:
+        prefix.append(params["dist_token"])
+    cat_x = jnp.concatenate(prefix + [tok], axis=0)
     x0 = cat_x + params["pos_embed"]
     return cat_x, x0
 
@@ -247,6 +265,10 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
     xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
     cls = xn[0]
     logits = cls @ params["head"]["kernel"] + params["head"]["bias"]
+    if cfg.distilled:
+        logits_dist = (xn[1] @ params["head_dist"]["kernel"]
+                       + params["head_dist"]["bias"])
+        logits = (logits + logits_dist) / 2      # timm DeiT eval fusion
     res = Residuals(x0, cat_x, x_ins, x_mids, x_final, xn, cls, attns)
     return logits, res
 
@@ -375,6 +397,9 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         def tail(x_final):
             xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
             logits = xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
+            if cfg.distilled:
+                logits = (logits + xn[1] @ params["head_dist"]["kernel"]
+                          + params["head_dist"]["bias"]) / 2
             return jnp.sum(onehot * logits)
         g_final = jax.grad(tail)(res.x_final)
 
@@ -424,7 +449,7 @@ def full_lrp_input_relevance(params: Params, res: Residuals, R_tokens: Array,
     pos-embed Add -> drop CLS -> patch-conv z^B -> channel sum."""
     Rx, _ = rp.add_relprop(res.cat_x, jnp.broadcast_to(
         params["pos_embed"], res.cat_x.shape), R_tokens, variant)
-    Rp = Rx[1:]                                        # drop CLS row
+    Rp = Rx[cfg.num_prefix_tokens:]                    # drop CLS/DIST rows
     cam = rp.conv_patch_zB_relprop(img, params["patch_embed"]["kernel"], Rp,
                                    cfg.patch_size)
     return cam.sum(axis=0)                             # (H, W)

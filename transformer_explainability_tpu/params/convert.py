@@ -76,6 +76,12 @@ def vit_params_from_torch_state_dict(sd: Mapping[str, Any],
     }
     if "blocks.0.attn.qkv.bias" in sd:
         params["blocks"]["qkv"]["bias"] = stack("blocks.{}.attn.qkv.bias")
+    if "dist_token" in sd:                     # timm deit_*_distilled_*
+        params["dist_token"] = jnp.asarray(sd["dist_token"].reshape(1, D),
+                                           dtype)
+        params["head_dist"] = {
+            "kernel": jnp.asarray(sd["head_dist.weight"].T, dtype),
+            "bias": jnp.asarray(sd["head_dist.bias"], dtype)}
     return params
 
 
@@ -168,6 +174,11 @@ DEFAULT_CFGS = {
         "url": "https://dl.fbaipublicfiles.com/deit/"
                "deit_base_patch16_224-b5f2ef4d.pth",
         "num_classes": 1000, "in_chans": 3,
+    },
+    "deit_base_distilled_patch16_224": {
+        "url": "https://dl.fbaipublicfiles.com/deit/"
+               "deit_base_distilled_patch16_224-df68dfff.pth",
+        "num_classes": 1000, "in_chans": 3, "distilled": True,
     },
 }
 
