@@ -213,6 +213,8 @@ def linear_alphabeta(x: Array, w: Array, R: Array, alpha: float = 1.0,
     ``S1 @ w1^T``, written explicitly here.
     """
     beta = alpha - 1.0
+    if x.ndim == 1:                       # e.g. the pooled-CLS head input
+        return linear_alphabeta(x[None], w, R[None], alpha, variant)[0]
     pw = jnp.maximum(w, 0.0)
     nw = jnp.minimum(w, 0.0)
     px = jnp.maximum(x, 0.0)
@@ -238,6 +240,18 @@ def linear_alphabeta(x: Array, w: Array, R: Array, alpha: float = 1.0,
         return alpha * activator
     inhibitor = f(nw, pw, px, nx)
     return alpha * activator - beta * inhibitor
+
+
+def batchnorm2d_relprop(x: Array, weight: Array, running_var: Array,
+                        R: Array, eps: float = 1e-5) -> Array:
+    """Analytic BatchNorm rule (reference ``modules/layers_ours.py:194-204``,
+    unused by the shipped transformer models but part of the rule library):
+    ``R_in = x * (w / sqrt(var+eps)) * safe_divide(R, Z)`` with
+    ``Z = x * w / sqrt(var+eps)``. x is (C, H, W); weight/var are (C,)."""
+    scale = (weight / jnp.sqrt(running_var + eps))[:, None, None]
+    Z = x * scale
+    S = safe_divide(R, Z)
+    return x * scale * S
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +371,7 @@ __all__ = [
     "EPS", "safe_divide", "zrule", "add_relprop", "add_eye_relprop",
     "clone_relprop", "cat_relprop", "index_select_relprop",
     "einsum_qk_relprop", "einsum_av_relprop", "matmul_relprop", "mul_relprop",
-    "linear_alphabeta", "patchify", "unpatchify", "conv_patch_zB_relprop",
+    "linear_alphabeta", "batchnorm2d_relprop", "patchify", "unpatchify",
+    "conv_patch_zB_relprop",
     "conv_patch_alphabeta_relprop", "compute_rollout",
 ]
