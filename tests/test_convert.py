@@ -85,6 +85,7 @@ def test_npz_pytree_roundtrip(tmp_path):
 def test_default_cfgs_registry():
     assert set(C.DEFAULT_CFGS) == {"vit_base_patch16_224",
                                    "vit_large_patch16_224",
-                                   "deit_base_patch16_224"}
+                                   "deit_base_patch16_224",
+                                   "deit_base_distilled_patch16_224"}
     for cfg in C.DEFAULT_CFGS.values():
         assert cfg["url"].startswith("https://")

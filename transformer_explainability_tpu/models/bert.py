@@ -133,6 +133,7 @@ class LayerActs(NamedTuple):
     ctx: Array          # merged context (S, D) — attn_out dense input
     dense_out: Array    # attn_out dense output (S, D) — residual add operand
     att_mid: Array      # dense_out + x_in, pre-LN
+    inter_pre: Array    # intermediate dense output (S, I) — pre-activation
     inter_g: Array      # activation output (S, I) — out dense input
     dense2: Array       # out dense output (S, D)
 
@@ -158,12 +159,12 @@ def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
     if att_ln is None:
         att_ln = _layernorm(att_mid, lp["attn_ln"], cfg.layer_norm_eps)
 
-    inter_g = _act(att_ln @ lp["inter"]["kernel"] + lp["inter"]["bias"],
-                   cfg.hidden_act)
+    inter_pre = att_ln @ lp["inter"]["kernel"] + lp["inter"]["bias"]
+    inter_g = _act(inter_pre, cfg.hidden_act)
     dense2 = inter_g @ lp["out"]["kernel"] + lp["out"]["bias"]
     out = _layernorm(dense2 + att_ln, lp["out_ln"], cfg.layer_norm_eps)
     return att_ln, out, LayerActs(q, k, v, scaled, probs, ctx, dense_out,
-                                  att_mid, inter_g, dense2)
+                                  att_mid, inter_pre, inter_g, dense2)
 
 
 class Residuals(NamedTuple):
@@ -294,15 +295,19 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
     # BertOutput: LN(id) -> add split -> dropout(id) -> dense
     R1, R2 = rp.add_relprop(acts.dense2, att_ln, R, variant)
     R1 = rp.linear_alphabeta(acts.inter_g, lp["out"]["kernel"], R1,
-                             alpha, variant)
+                             alpha, variant,
+                             y_pre=acts.dense2 - lp["out"]["bias"])
     # BertIntermediate: act(id) -> dense
-    R1 = rp.linear_alphabeta(att_ln, lp["inter"]["kernel"], R1, alpha, variant)
+    R1 = rp.linear_alphabeta(att_ln, lp["inter"]["kernel"], R1, alpha,
+                             variant,
+                             y_pre=acts.inter_pre - lp["inter"]["bias"])
     R_att = rp.clone_relprop(att_ln, [R1, R2])
 
     # BertSelfOutput: LN(id) -> add split -> dropout(id) -> dense
     R1, R2 = rp.add_relprop(acts.dense_out, x_in, R_att, variant)
     R1 = rp.linear_alphabeta(acts.ctx, lp["attn_out"]["kernel"], R1,
-                             alpha, variant)
+                             alpha, variant,
+                             y_pre=acts.dense_out - lp["attn_out"]["bias"])
 
     # BertSelfAttention
     cam = _heads(R1, cfg)                                   # (h, S, hd)
@@ -318,11 +323,14 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
     cam_q = cam_q / 2
     cam_k = cam_k / 2
     Rq = rp.linear_alphabeta(x_in, lp["q"]["kernel"], _unheads(cam_q),
-                             alpha, variant)
+                             alpha, variant,
+                             y_pre=_unheads(acts.q) - lp["q"]["bias"])
     Rk = rp.linear_alphabeta(x_in, lp["k"]["kernel"], _unheads(cam_k),
-                             alpha, variant)
+                             alpha, variant,
+                             y_pre=_unheads(acts.k) - lp["k"]["bias"])
     Rv = rp.linear_alphabeta(x_in, lp["v"]["kernel"], _unheads(cam_v),
-                             alpha, variant)
+                             alpha, variant,
+                             y_pre=_unheads(acts.v) - lp["v"]["bias"])
     R_h1 = rp.clone_relprop(x_in, [Rq, Rk, Rv])      # 3-way clone (BERT.py:319)
     R_in = rp.clone_relprop(x_in, [R_h1, R2])        # 2-way clone (BERT.py:227)
     return R_in, attn_cam
@@ -352,6 +360,62 @@ def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
     return R_tokens, attn_cams
 
 
+def _layernorm_bwd(g_y: Array, x: Array, p, eps: float) -> Array:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    gg = g_y * p["scale"]
+    return inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+
+
+def _act_grad(pre: Array, name: str) -> Array:
+    if name == "gelu":
+        cdf = 0.5 * (1.0 + jax.lax.erf(pre / jnp.sqrt(2.0).astype(pre.dtype)))
+        pdf = jnp.exp(-0.5 * pre * pre) / jnp.sqrt(
+            2.0 * jnp.pi).astype(pre.dtype)
+        return cdf + pre * pdf
+    if name == "relu":
+        return (pre > 0).astype(pre.dtype)
+    if name == "tanh":
+        t = jnp.tanh(pre)
+        return 1.0 - t * t
+    raise ValueError(name)
+
+
+def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
+                   acts: LayerActs, lp: Params, cfg: BertConfig
+                   ) -> Tuple[Array, Array]:
+    """Hand-written VJP of one encoder layer from saved activations: returns
+    (g_in, g_probs) with g_probs the cotangent of the post-softmax attention
+    (the reference's hook gradient, BERT.py:347-348). No forward recompute."""
+    # output sub-block: out = LN(dense2 + att_ln)
+    g_sum2 = _layernorm_bwd(g_out, acts.dense2 + att_ln, lp["out_ln"],
+                            cfg.layer_norm_eps)
+    g_ig = g_sum2 @ lp["out"]["kernel"].T
+    g_h1 = g_ig * _act_grad(acts.inter_pre, cfg.hidden_act)
+    g_attln = g_sum2 + g_h1 @ lp["inter"]["kernel"].T
+
+    # attention sub-block: att_ln = LN(dense_out + x_in)
+    g_sum1 = _layernorm_bwd(g_attln, acts.att_mid, lp["attn_ln"],
+                            cfg.layer_norm_eps)
+    g_ctx = g_sum1 @ lp["attn_out"]["kernel"].T
+    g_o = _heads(g_ctx, cfg)
+    g_probs = jnp.einsum("hid,hjd->hij", g_o, acts.v)
+    g_v = jnp.einsum("hij,hid->hjd", acts.probs, g_o)
+    inner = (g_probs * acts.probs).sum(axis=-1, keepdims=True)
+    g_raw = (acts.probs * (g_probs - inner)) / jnp.sqrt(
+        jnp.asarray(cfg.head_dim, x_in.dtype))
+    g_q = jnp.einsum("hij,hjd->hid", g_raw, acts.k)
+    g_k = jnp.einsum("hij,hid->hjd", g_raw, acts.q)
+    g_in = (g_sum1
+            + _unheads(g_q) @ lp["q"]["kernel"].T
+            + _unheads(g_k) @ lp["k"]["kernel"].T
+            + _unheads(g_v) @ lp["v"]["kernel"].T)
+    return g_in, g_probs
+
+
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: BertConfig, alpha: float = 1.0, variant: str = "ours",
                  need_grads: bool = True, need_relprop: bool = True
@@ -379,21 +443,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                 alpha, variant)
         R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
 
-    tap0 = jnp.zeros((cfg.num_heads, S, S), res.seq_out.dtype)
-
     def step(carry, xs):
         g_out, Rc = carry
         x_in, att_ln, lp = xs
+        _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg)
         if need_grads:
-            def layer(x, tap):
-                _, out, acts = _layer_acts(x, None, lp, res.ext_mask, cfg,
-                                           tap)
-                return out, acts
-            (out, acts), vjp = jax.vjp(layer, x_in, tap0)
-            zero_acts = jax.tree.map(jnp.zeros_like, acts)
-            g_in, g_tap = vjp((g_out, zero_acts))
+            g_in, g_tap = layer_backward(g_out, x_in, att_ln, acts, lp, cfg)
         else:
-            _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg)
             g_in, g_tap = g_out, None
         if need_relprop:
             R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp,

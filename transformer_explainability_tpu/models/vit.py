@@ -181,6 +181,7 @@ class BlockActs(NamedTuple):
     out_merged: Array  # matmul2 output merged (n, D) — proj's input
     attn_out: Array   # proj output (n, D) — add1's second operand
     xn2: Array        # norm2 output (n, D)
+    h1: Array         # fc1 output (n, M) — pre-GELU (backward needs gelu'(h1))
     hg: Array         # GELU output (n, M) — fc2's input
     mlp_out: Array    # fc2 output (n, D) — add2's second operand
 
@@ -209,7 +210,7 @@ def _block_acts(x_in: Array, bp: Params, cfg: ViTConfig,
     mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
     x_out = x_mid + mlp_out
     return x_mid, x_out, BlockActs(xn1, q, k, v, attn, out_merged, attn_out,
-                                   xn2, hg, mlp_out)
+                                   xn2, h1, hg, mlp_out)
 
 
 class Residuals(NamedTuple):
@@ -295,16 +296,28 @@ def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
     if acts is None:
         acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
 
+    # forward pre-bias products from acts (saves one matmul per Linear rule)
+    fc2_pre = acts.mlp_out - bp["fc2"]["bias"]
+    fc1_pre = acts.h1 - bp["fc1"]["bias"]
+    proj_pre = acts.attn_out - bp["proj"]["bias"]
+    qkv_pre = jnp.stack([acts.q, acts.k, acts.v], axis=0)
+    qkv_pre = qkv_pre.transpose(2, 0, 1, 3).reshape(
+        cfg.num_tokens, 3 * cfg.embed_dim)
+    if "bias" in bp["qkv"]:
+        qkv_pre = qkv_pre - bp["qkv"]["bias"]
+
     # add2 -> mlp -> norm2(id) -> clone2
     R1, R2 = rp.add_relprop(x_mid, acts.mlp_out, R, variant)
-    R2 = rp.linear_alphabeta(acts.hg, bp["fc2"]["kernel"], R2, alpha, variant)
-    R2 = rp.linear_alphabeta(acts.xn2, bp["fc1"]["kernel"], R2, alpha, variant)
+    R2 = rp.linear_alphabeta(acts.hg, bp["fc2"]["kernel"], R2, alpha, variant,
+                             y_pre=fc2_pre)
+    R2 = rp.linear_alphabeta(acts.xn2, bp["fc1"]["kernel"], R2, alpha,
+                             variant, y_pre=fc1_pre)
     R = rp.clone_relprop(x_mid, [R1, R2])
 
     # add1 -> attention -> norm1(id) -> clone1
     R1, R2 = rp.add_relprop(x_in, acts.attn_out, R, variant)
     R2 = rp.linear_alphabeta(acts.out_merged, bp["proj"]["kernel"], R2,
-                             alpha, variant)
+                             alpha, variant, y_pre=proj_pre)
     cam = R2.reshape(cfg.num_tokens, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
     cam1, cam_v = rp.einsum_av_relprop(acts.attn, acts.v, cam)
     cam1 = cam1 / 2
@@ -320,7 +333,7 @@ def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
     cam_qkv = cam_qkv.transpose(2, 0, 1, 3).reshape(
         cfg.num_tokens, 3 * cfg.embed_dim)
     R2 = rp.linear_alphabeta(acts.xn1, bp["qkv"]["kernel"], cam_qkv,
-                             alpha, variant)
+                             alpha, variant, y_pre=qkv_pre)
     R_in = rp.clone_relprop(x_in, [R1, R2])
     return R_in, attn_cam, cam_v
 
@@ -343,7 +356,8 @@ def _block_acts_from_anchors(x_in: Array, x_mid: Array, bp: Params,
     h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
     hg = jax.nn.gelu(h1, approximate=False)
     mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
-    return BlockActs(xn1, q, k, v, attn, out_merged, attn_out, xn2, hg, mlp_out)
+    return BlockActs(xn1, q, k, v, attn, out_merged, attn_out,
+                     xn2, h1, hg, mlp_out)
 
 
 def relprop(params: Params, res: Residuals, R_logits: Array, cfg: ViTConfig,
@@ -371,6 +385,57 @@ def relprop(params: Params, res: Residuals, R_logits: Array, cfg: ViTConfig,
     R_tokens, attn_cams = jax.lax.scan(
         step, R, (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
     return R_tokens, attn_cams
+
+
+def _layernorm_bwd(g_y: Array, x: Array, p: Params, eps: float) -> Array:
+    """Cotangent of LayerNorm w.r.t. its input (γ from ``p``)."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * inv
+    gg = g_y * p["scale"]
+    return inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+
+
+def _gelu_grad(x: Array) -> Array:
+    """d/dx gelu(x) (exact erf form): Φ(x) + x·φ(x)."""
+    cdf = 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+    pdf = jnp.exp(-0.5 * x * x) / jnp.sqrt(2.0 * jnp.pi).astype(x.dtype)
+    return cdf + x * pdf
+
+
+def block_backward(g_out: Array, x_in: Array, x_mid: Array,
+                   acts: BlockActs, bp: Params, cfg: ViTConfig
+                   ) -> Tuple[Array, Array]:
+    """Hand-written VJP of one block given its saved activations: returns
+    (g_in, g_attn) where g_attn is the cotangent of the post-softmax
+    attention (the reference's ``register_hook`` gradient, ViT_LRP.py:145).
+    No forward recompute — all linearization points come from ``acts``."""
+    # MLP branch: x_out = x_mid + fc2(gelu(fc1(norm2(x_mid))))
+    g_hg = g_out @ bp["fc2"]["kernel"].T                    # (n, M)
+    g_h1 = g_hg * _gelu_grad(acts.h1)
+    g_xn2 = g_h1 @ bp["fc1"]["kernel"].T                    # (n, D)
+    g_mid = g_out + _layernorm_bwd(g_xn2, x_mid, bp["norm2"],
+                                   cfg.block_ln_eps)
+
+    # attention branch: x_mid = x_in + proj(merge(attn @ v))
+    g_om = g_mid @ bp["proj"]["kernel"].T                   # (n, D)
+    n = g_om.shape[0]
+    g_o = g_om.reshape(n, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
+    g_attn = jnp.einsum("hid,hjd->hij", g_o, acts.v)        # hook gradient
+    g_v = jnp.einsum("hij,hid->hjd", acts.attn, g_o)
+    # softmax (attn = softmax(dots * scale) + tap; d tap == d attn)
+    inner = (g_attn * acts.attn).sum(axis=-1, keepdims=True)
+    g_dots = acts.attn * (g_attn - inner) * (cfg.head_dim ** -0.5)
+    g_q = jnp.einsum("hij,hjd->hid", g_dots, acts.k)
+    g_k = jnp.einsum("hij,hid->hjd", g_dots, acts.q)
+    g_qkv = jnp.stack([g_q, g_k, g_v], axis=0)              # (3, h, n, hd)
+    g_qkv = g_qkv.transpose(2, 0, 1, 3).reshape(n, 3 * cfg.embed_dim)
+    g_xn1 = g_qkv @ bp["qkv"]["kernel"].T
+    g_in = g_mid + _layernorm_bwd(g_xn1, x_in, bp["norm1"],
+                                  cfg.block_ln_eps)
+    return g_in, g_attn
 
 
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
@@ -410,21 +475,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                 alpha, variant)
         R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R[None, :])
 
-    tap0 = jnp.zeros((cfg.num_heads, cfg.num_tokens, cfg.num_tokens),
-                     res.x_final.dtype)
-
     def step(carry, xs):
         g_out, Rc = carry
         x_in, x_mid, bp = xs
+        acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
         if need_grads:
-            def block(x, tap):
-                _, x_out, acts = _block_acts(x, bp, cfg, tap)
-                return x_out, acts
-            (x_out, acts), vjp = jax.vjp(block, x_in, tap0)
-            zero_acts = jax.tree.map(jnp.zeros_like, acts)
-            g_in, g_tap = vjp((g_out, zero_acts))
+            g_in, g_tap = block_backward(g_out, x_in, x_mid, acts, bp, cfg)
         else:
-            acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
             g_in, g_tap = g_out, None
         if need_relprop:
             R_in, attn_cam, _ = block_relprop(Rc, x_in, x_mid, bp, cfg,

@@ -33,7 +33,7 @@ variant attention-focused): Softmax, LayerNorm, GELU, ReLU, Tanh, Dropout
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,7 +199,8 @@ def mul_relprop(a: Array, b: Array, R: Array) -> Tuple[Array, Array]:
 # ---------------------------------------------------------------------------
 
 def linear_alphabeta(x: Array, w: Array, R: Array, alpha: float = 1.0,
-                     variant: str = "ours") -> Array:
+                     variant: str = "ours",
+                     y_pre: Optional[Array] = None) -> Array:
     """α-β LRP rule for y = x @ w (w is (in, out); bias is ignored by the rule,
     exactly like the reference which calls ``F.linear(x1, w1)`` with no bias).
 
@@ -211,32 +212,54 @@ def linear_alphabeta(x: Array, w: Array, R: Array, alpha: float = 1.0,
 
     The reference's per-branch ``autograd.grad(Z1, x1, S1)`` is just
     ``S1 @ w1^T``, written explicitly here.
+
+    MXU optimization (shared-denominator variant): with x = x⁺+x⁻,
+    |x| = x⁺−x⁻ (likewise w),
+
+        Z1+Z2 = x⁺@w⁺ + x⁻@w⁻ = (x@w + |x|@|w|) / 2
+        C1+C2 = (x ⊙ (S@wᵀ) + |x| ⊙ (S@|w|ᵀ)) / 2
+
+    so the rule needs only the |x|@|w| product plus two transposed products —
+    and when the *forward* pre-bias product ``y_pre = x@w`` is passed in (the
+    reverse scan has it in its saved activations), the rule costs 3 matmuls
+    instead of 4 (2 instead of 4 with ``y_pre``); the inhibitor branch
+    (α≠1) reuses the same products: Z1'+Z2' = (x@w − |x|@|w|)/2.
     """
     beta = alpha - 1.0
     if x.ndim == 1:                       # e.g. the pooled-CLS head input
-        return linear_alphabeta(x[None], w, R[None], alpha, variant)[0]
+        return linear_alphabeta(
+            x[None], w, R[None], alpha, variant,
+            None if y_pre is None else y_pre[None])[0]
+
+    if variant != "lrp":
+        ax = jnp.abs(x)
+        aw = jnp.abs(w)
+        xw = x @ w if y_pre is None else y_pre
+        axw = ax @ aw
+        Z = 0.5 * (xw + axw)
+        S = safe_divide(R, Z)
+        act = 0.5 * (x * (S @ w.T) + ax * (S @ aw.T))
+        if beta == 0.0:
+            # beta==0 is the only configuration the reference's callers use
+            # (alpha=1 at ``baselines/ViT/ViT_explanation_generator.py:27``).
+            return alpha * act
+        Zi = 0.5 * (xw - axw)
+        Si = safe_divide(R, Zi)
+        inh = 0.5 * (x * (Si @ w.T) - ax * (Si @ aw.T))
+        return alpha * act - beta * inh
+
     pw = jnp.maximum(w, 0.0)
     nw = jnp.minimum(w, 0.0)
     px = jnp.maximum(x, 0.0)
     nx = jnp.minimum(x, 0.0)
 
     def f(w1, w2, x1, x2):
-        Z1 = x1 @ w1
-        Z2 = x2 @ w2
-        if variant == "lrp":
-            S1 = safe_divide(R, Z1)
-            S2 = safe_divide(R, Z2)
-        else:
-            S1 = S2 = safe_divide(R, Z1 + Z2)
-        C1 = x1 * (S1 @ w1.T)
-        C2 = x2 * (S2 @ w2.T)
-        return C1 + C2
+        S1 = safe_divide(R, x1 @ w1)
+        S2 = safe_divide(R, x2 @ w2)
+        return x1 * (S1 @ w1.T) + x2 * (S2 @ w2.T)
 
     activator = f(pw, nw, px, nx)
     if beta == 0.0:
-        # beta==0 is the only configuration the reference's callers use
-        # (alpha=1 at ``baselines/ViT/ViT_explanation_generator.py:27``);
-        # skipping the inhibitor halves the rule's matmul count.
         return alpha * activator
     inhibitor = f(nw, pw, px, nx)
     return alpha * activator - beta * inhibitor
