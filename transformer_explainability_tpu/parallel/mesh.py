@@ -31,6 +31,23 @@ from transformer_explainability_tpu.models.vit import ViTConfig
 from transformer_explainability_tpu.explain import generator as gen
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host entry point: initialize ``jax.distributed`` so that
+    ``jax.devices()`` spans every host's chips (ICI within a slice, DCN
+    across slices); then build a mesh over the global device list as usual.
+    No-op when already initialized or on a single process. Returns the global
+    device count."""
+    import jax as _jax
+    try:
+        _jax.distributed.initialize(coordinator_address, num_processes,
+                                    process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized / single-process
+    return len(_jax.devices())
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build a (data, model) mesh. Defaults to all devices on the data axis."""
