@@ -60,7 +60,8 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
                  batch_size: int = 16, thr: float = 0.0,
                  is_ablation: bool = False, limit: Optional[int] = None,
                  save_dir: Optional[str] = None,
-                 explain_fn=None, progress: bool = True) -> Dict[str, float]:
+                 explain_fn=None, progress: bool = True,
+                 save_images: int = 0) -> Dict[str, float]:
     """Evaluate a heatmap method against the 4276-image ImageNet-seg GT.
 
     ``dataset`` yields/indexes (normalized image (3,224,224), label (224,224));
@@ -92,6 +93,7 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
             pass
 
     g = cfg.grid
+    n_saved = 0
     for imgs, labels in it:
         B = imgs.shape[0]
         idx = np.full((B,), -1, np.int32)   # predicted-class explanations
@@ -102,6 +104,20 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
             maps = heat.reshape(B, cfg.img_size, cfg.img_size)
         else:
             maps = upsample_bilinear(heat.reshape(B, g, g), cfg.img_size)
+
+        if save_dir and n_saved < save_images:
+            # heatmap renderings like the reference's per-image dumps
+            # (imagenet_seg_eval.py:232-260, hm_to_rgb + mask images)
+            from transformer_explainability_tpu.utils import render as RD
+            from PIL import Image as PILImage
+            img_dir = os.path.join(save_dir, "images")
+            os.makedirs(img_dir, exist_ok=True)
+            for b in range(min(B, save_images - n_saved)):
+                rgb = RD.hm_to_rgb(maps[b], scaling=1)
+                PILImage.fromarray(
+                    (rgb * 255).astype(np.uint8)).save(
+                        os.path.join(img_dir, f"heatmap_{n_saved + b}.png"))
+            n_saved += min(B, save_images - n_saved)
 
         for b in range(B):
             res, r1, r0, r1ap, r0ap, pred = postprocess(maps[b], thr)
@@ -166,6 +182,8 @@ def main(argv=None):
     p.add_argument("--is-ablation", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--save-dir", default="run/imagenet_seg")
+    p.add_argument("--save-images", type=int, default=0,
+                   help="save the first N heatmap renderings")
     args = p.parse_args(argv)
 
     cfg = VIT_BASE_16_224
@@ -179,7 +197,8 @@ def main(argv=None):
     ds = ImagenetSegmentation(args.imagenet_seg_path)
     results = run_seg_eval(ds, params, cfg, args.method, args.batch_size,
                            args.thr, args.is_ablation, args.limit,
-                           os.path.join(args.save_dir, args.method))
+                           os.path.join(args.save_dir, args.method),
+                           save_images=args.save_images)
     print("Mean IoU over 2 classes: %.4f" % results["mIoU"])
     print("Pixel-wise Accuracy: %2.2f%%" % (results["pixAcc"] * 100))
     print("Mean AP over 2 classes: %.4f" % results["mAP"])

@@ -56,6 +56,14 @@ def hm_to_rgb(R: np.ndarray, X=None, scaling: int = 3, shape=(), sigma: int = 2,
     return rgb
 
 
+def normalize_inverse(img_chw: np.ndarray, mean, std) -> np.ndarray:
+    """Undo a mean/std normalization (reference ``misc_functions.py``
+    NormalizeInverse): returns the [0,1]-range image."""
+    mean = np.asarray(mean, np.float32).reshape(-1, 1, 1)
+    std = np.asarray(std, np.float32).reshape(-1, 1, 1)
+    return np.clip(np.asarray(img_chw, np.float32) * std + mean, 0.0, 1.0)
+
+
 def save_saliency_map(image: np.ndarray, saliency_map: np.ndarray,
                       filename: str):
     """JET-overlay saliency save (reference ``baselines/ViT/misc_functions.py:
