@@ -162,6 +162,40 @@ def test_bert_method_parity(pair, method, start_layer, padded):
     np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def pair_orig(pair):
+    """Reference BERT_cls_lrp / BERT_orig_lrp (vanilla layers_lrp rules) —
+    the model the pipeline uses for every baseline method
+    (bert_pipeline.py:443-448), sharing the ours-model's weights."""
+    import torch
+    from transformers import BertConfig as HFConfig
+    from BERT_explainability.modules.BERT.BERT_cls_lrp import (
+        BertForSequenceClassification as BertClsLrp)
+    ref, cfg, params, ids, mask_full, mask_pad = pair
+    hf_cfg = HFConfig(vocab_size=100, hidden_size=32,
+                      num_hidden_layers=NUM_LAYERS, num_attention_heads=4,
+                      intermediate_size=64, max_position_embeddings=40,
+                      num_labels=2, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    ref_lrp = BertClsLrp(hf_cfg)
+    ref_lrp.load_state_dict(ref.state_dict())
+    ref_lrp.eval()
+    return ref_lrp, cfg, params, ids, mask_full, mask_pad
+
+
+@requires_reference
+@pytest.mark.parametrize("method", ["full", "last_layer"])
+def test_bert_lrp_variant_parity(pair_orig, method):
+    """variant='lrp' vs the reference's layers_lrp BERT model."""
+    ref_lrp, cfg, params, ids, mask_full, _ = pair_orig
+    index = 0
+    want = ref_explain(ref_lrp, ids, mask_full, index, method, 0)
+    fn = make_explain_fn(cfg, method=method, start_layer=0, variant="lrp")
+    got = np.asarray(fn(params, jnp.asarray(ids, jnp.int32),
+                        jnp.asarray(mask_full), jnp.array([index], jnp.int32)))
+    np.testing.assert_allclose(got[0], want, rtol=2e-3, atol=1e-5)
+
+
 @requires_reference
 def test_argmax_sentinel(pair):
     import torch

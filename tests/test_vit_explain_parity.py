@@ -153,6 +153,41 @@ def test_attn_gradcam_parity(pair):
     np.testing.assert_allclose(got[0], want, rtol=1e-3, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def pair_orig():
+    """Reference ViT_orig_LRP (vanilla layers_lrp rules) — the model the seg
+    harness uses for the full-LRP / partial-LRP baselines
+    (imagenet_seg_eval.py:146-148)."""
+    import torch
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from baselines.ViT import ViT_orig_LRP
+    torch.manual_seed(0)
+    ref = ViT_orig_LRP.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=24, depth=3, num_heads=4,
+        mlp_ratio=4., qkv_bias=True, num_classes=10)
+    ref.eval()
+    params = vit_params_from_torch_state_dict(ref.state_dict(), CFG)
+    rng = np.random.RandomState(43)
+    img = rng.randn(1, 3, 32, 32).astype(np.float32)
+    return ref, params, img
+
+
+@requires_reference
+@pytest.mark.parametrize("method", ["full", "last_layer", "second_layer"])
+def test_lrp_variant_parity(pair_orig, method):
+    """variant='lrp' (separate-denominator Linear, plain z-rule Add) vs the
+    reference's layers_lrp model."""
+    ref, params, img = pair_orig
+    index = 4
+    want = ref_relprop(ref, img, index, method)
+    fn = make_explain_fn(CFG, method=method, variant="lrp")
+    got = np.asarray(fn(params, jnp.asarray(img),
+                        jnp.array([index], jnp.int32)))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-3, atol=1e-5)
+
+
 @requires_reference
 def test_argmax_index_matches_explicit(pair):
     """index=-1 (argmax) must equal passing the argmax class explicitly."""
