@@ -1,3 +1,6 @@
 from transformer_explainability_tpu.explain.generator import (  # noqa: F401
     METHODS, Explainer, make_explain_fn,
 )
+from transformer_explainability_tpu.explain.bert_generator import (  # noqa: F401,E501
+    BertExplainer,
+)
