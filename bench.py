@@ -42,12 +42,16 @@ def main():
         idx = jnp.asarray(rng.randint(0, 1000, B), jnp.int32)
         try:
             np.asarray(fn(params, imgs, idx))  # warm-up + compile
-            # timed runs; NOTE: on the axon-relay backend block_until_ready
-            # does not sync, so force a (tiny) host transfer per call.
-            n_iter = max(2, int(np.ceil(128 / B)))
+            # timed runs, pipelined: dispatch every iteration first (XLA
+            # dispatch is async), then sync once per result — overlaps the
+            # relay's per-call latency with device compute. NOTE: on the
+            # axon-relay backend block_until_ready does not sync, so the
+            # host transfer is the sync point.
+            n_iter = max(4, int(np.ceil(256 / B)))
             t0 = time.perf_counter()
-            for _ in range(n_iter):
-                out = np.asarray(fn(params, imgs, idx))
+            outs = [fn(params, imgs, idx) for _ in range(n_iter)]
+            for out in outs:
+                np.asarray(out)
             dt = time.perf_counter() - t0
             rate = B * n_iter / dt
             print(f"# batch={B}: {rate:.1f} expl/s "

@@ -94,12 +94,26 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
 
     g = cfg.grid
     n_saved = 0
-    for imgs, labels in it:
-        B = imgs.shape[0]
-        idx = np.full((B,), -1, np.int32)   # predicted-class explanations
-        heat = np.asarray(explain_fn(params, jax.numpy.asarray(imgs),
-                                     jax.numpy.asarray(idx)),
-                          np.float32)
+
+    def dispatched():
+        """Pipeline device dispatch against host postprocessing: enqueue the
+        next batch's explain before transferring the current one (the axon
+        relay's per-call latency hides behind device compute)."""
+        pending = None
+        for imgs, labels in it:
+            B = imgs.shape[0]
+            idx = np.full((B,), -1, np.int32)   # predicted-class explanations
+            out = explain_fn(params, jax.numpy.asarray(imgs),
+                             jax.numpy.asarray(idx))
+            if pending is not None:
+                yield pending
+            pending = (out, labels)
+        if pending is not None:
+            yield pending
+
+    for out, labels in dispatched():
+        heat = np.asarray(out, np.float32)
+        B = heat.shape[0]
         if method == "full_lrp":
             maps = heat.reshape(B, cfg.img_size, cfg.img_size)
         else:

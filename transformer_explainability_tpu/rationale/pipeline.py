@@ -40,6 +40,8 @@ from transformer_explainability_tpu.explain.bert_generator import BertExplainer
 from transformer_explainability_tpu.rationale import render
 from transformer_explainability_tpu.rationale.data import (
     Annotation, load_datasets, load_documents)
+from transformer_explainability_tpu.utils.checkpoint import (
+    load_pytree as _load_pytree, save_pytree as _save_pytree)
 
 logger = logging.getLogger(__name__)
 
@@ -149,10 +151,6 @@ def make_eval_step(cfg: BertConfig):
     return step
 
 
-from transformer_explainability_tpu.utils.checkpoint import (
-    load_pytree as _load_pytree, save_pytree as _save_pytree)
-
-
 def train_classifier(params, cfg: BertConfig, train: List[Annotation],
                      val: List[Annotation], interned,
                      classes: Dict[str, int], output_dir: str,
@@ -195,7 +193,8 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
             ids, mask, tgt = _batch_arrays(anns, interned, classes)
             logits = np.asarray(eval_step(params, ids, mask))
             total_correct += int((logits.argmax(-1) == tgt).sum())
-            logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            shifted = logits - logits.max(-1, keepdims=True)
+            logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
             total_loss += float(-logp[np.arange(len(tgt)), tgt].sum())
         return total_loss / len(val), total_correct / len(val)
 
