@@ -99,7 +99,6 @@ def run_perturbation_eval(results_ds, params, cfg: ViTConfig = VIT_BASE_16_224,
                            "perturbations_dissimilarities",
                            "perturbations_logit_diff",
                            "perturbations_prob_diff")}
-    n_done = 0
     it = results_ds.batches(batch_size)
     if progress:
         try:
@@ -107,15 +106,27 @@ def run_perturbation_eval(results_ds, params, cfg: ViTConfig = VIT_BASE_16_224,
             it = tqdm(it, total=(len(results_ds) + batch_size - 1) // batch_size)
         except ImportError:
             pass
-    for images, vis, targets in it:
-        if limit is not None and n_done >= limit:
-            break
-        B = images.shape[0]
-        v = vis.reshape(B, -1)
-        if neg:
-            v = -v
-        out = fn(params, jnp.asarray(images), jnp.asarray(v),
-                 jnp.asarray(targets))
+    def dispatched():
+        # pipeline device dispatch against host accumulation
+        pending = None
+        n = 0
+        for images, vis, targets in it:
+            if limit is not None and n >= limit:
+                break
+            B = images.shape[0]
+            v = vis.reshape(B, -1)
+            if neg:
+                v = -v
+            out = fn(params, jnp.asarray(images), jnp.asarray(v),
+                     jnp.asarray(targets))
+            n += B
+            if pending is not None:
+                yield pending
+            pending = (out, B)
+        if pending is not None:
+            yield pending
+
+    for out, B in dispatched():
         out = {k: np.asarray(a) for k, a in out.items()}
         acc["model_hits"].append(out["base_correct"])
         acc["model_dissimilarities"].append(out["base_dissim"])
@@ -123,7 +134,6 @@ def run_perturbation_eval(results_ds, params, cfg: ViTConfig = VIT_BASE_16_224,
         acc["perturbations_dissimilarities"].append(out["pertub_dissim"])
         acc["perturbations_logit_diff"].append(out["pertub_logit_diff"])
         acc["perturbations_prob_diff"].append(out["pertub_prob_diff"])
-        n_done += B
 
     res = {k: np.concatenate(v, axis=-1) for k, v in acc.items()}
     curve = res["perturbations_hits"].mean(axis=1)

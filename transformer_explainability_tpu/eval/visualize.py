@@ -58,7 +58,10 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                                      is_ablation=is_ablation, variant=variant)
     g = cfg.grid
     n_written = 0
-    with ResultsWriter(out_path, cfg.img_size) as w:
+
+    def dispatched():
+        # pipeline device dispatch against the gzip-compressed hdf5 writes
+        pending = None
         for images, targets in data_iter:
             B = images.shape[0]
             if vis_class == "top":
@@ -69,10 +72,18 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                 idx = np.full((B,), class_id, np.int32)
             else:
                 raise ValueError(vis_class)
-
             norm = (np.asarray(images, np.float32) - MEAN) / STD
-            heat = np.asarray(explain_fn(params, jnp.asarray(norm),
-                                         jnp.asarray(idx)), np.float32)
+            out = explain_fn(params, jnp.asarray(norm), jnp.asarray(idx))
+            if pending is not None:
+                yield pending
+            pending = (out, images, targets)
+        if pending is not None:
+            yield pending
+
+    with ResultsWriter(out_path, cfg.img_size) as w:
+        for out, images, targets in dispatched():
+            heat = np.asarray(out, np.float32)
+            B = heat.shape[0]
             if method == "full_lrp":
                 res = heat.reshape(B, 1, cfg.img_size, cfg.img_size)
             else:
