@@ -282,9 +282,11 @@ def test_pipeline_end_to_end(tmp_path):
     assert len(rows) == len(test)
     assert all(len(r["rationales"][0]["hard_rationale_predictions"]) == 5
                for r in rows)
-    # decoded rationales score cleanly end-to-end
+    # decoded rationales score cleanly end-to-end, incl. soft AUPRC
     scores = rmetrics.score_results(rows, test, str(tmp_path))
     assert 0.0 <= scores["token_prf"]["instance_micro"]["f1"] <= 1.0
+    assert "token_soft_metrics" in scores
+    assert 0.0 <= scores["token_soft_metrics"]["auprc"] <= 1.0
     # LaTeX artifacts written
     texs = [p for p in os.listdir(out_dir / "ours") if p.endswith(".tex")]
     assert len(texs) >= len(test)

@@ -249,10 +249,16 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                        method: str = "transformer_attribution",
                        batch_size: int = 16,
                        topk_range=range(5, 85, 5),
-                       write_latex: bool = True) -> List[str]:
+                       write_latex: bool = True,
+                       write_soft: bool = True) -> List[str]:
     """Explain every test annotation, write per-k hard-rationale result files
     + GT/counterfactual LaTeX heatmaps (reference :439-585). Returns the list
-    of result-file paths."""
+    of result-file paths.
+
+    ``write_soft`` additionally emits per-word ``soft_rationale_predictions``
+    (zero beyond the truncated encoding) — the input the scorer's AUPRC/AP
+    soft metrics need (the paper reports AUPRC; the reference pipeline only
+    ever wrote hard top-k spans)."""
     call_name, variant = METHOD_TABLE[method]
     explainer = BertExplainer(params, cfg, variant=variant)
     eval_step = make_eval_step(cfg)
@@ -300,6 +306,11 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                             os.path.join(folder, f"{j}_CF.tex"))
                 word_scores = render.scores_per_word_from_scores_per_token(
                     doc_words, wordpieces, cam_t[b][:length])
+                soft = None
+                if write_soft:
+                    soft = np.zeros(len(doc_words))
+                    soft[:len(word_scores)] = word_scores
+                    soft = soft.tolist()
                 hard = []
                 order = np.argsort(word_scores)[::-1]
                 for fi, k in enumerate(topk_range):
@@ -308,12 +319,13 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                     for idx in order[len(hard):min(k, len(order))]:
                         hard.append({"start_token": int(idx),
                                      "end_token": int(idx) + 1})
+                    rat = {"docid": doc_name,
+                           "hard_rationale_predictions": list(hard)}
+                    if soft is not None:
+                        rat["soft_rationale_predictions"] = soft
                     files[fi].write(json.dumps({
                         "annotation_id": doc_name,
-                        "rationales": [{
-                            "docid": doc_name,
-                            "hard_rationale_predictions": list(hard),
-                        }],
+                        "rationales": [rat],
                     }) + "\n")
     finally:
         for f in files:
