@@ -82,6 +82,95 @@ def test_npz_pytree_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("nesting", ["flat", "model", "state_dict"])
+def test_load_vit_checkpoint_pth_file(tmp_path, nesting):
+    """File-level ingestion of a torch .pth in the reference layout
+    (DeiT hub checkpoints nest under 'model', ViT_LRP.py:435)."""
+    torch = pytest.importorskip("torch")
+    D, L, C, P = 8, 2, 5, 16
+    cfg = ViTConfig(img_size=32, patch_size=P, embed_dim=D, depth=L,
+                    num_heads=2, num_classes=C)
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {"patch_embed.proj.weight": t(D, 3, P, P),
+          "patch_embed.proj.bias": t(D),
+          "cls_token": t(1, 1, D), "pos_embed": t(1, cfg.num_tokens, D),
+          "norm.weight": t(D), "norm.bias": t(D),
+          "head.weight": t(C, D), "head.bias": t(C)}
+    for i in range(L):
+        sd.update({
+            f"blocks.{i}.norm1.weight": t(D), f"blocks.{i}.norm1.bias": t(D),
+            f"blocks.{i}.attn.qkv.weight": t(3 * D, D),
+            f"blocks.{i}.attn.qkv.bias": t(3 * D),
+            f"blocks.{i}.attn.proj.weight": t(D, D),
+            f"blocks.{i}.attn.proj.bias": t(D),
+            f"blocks.{i}.norm2.weight": t(D), f"blocks.{i}.norm2.bias": t(D),
+            f"blocks.{i}.mlp.fc1.weight": t(4 * D, D),
+            f"blocks.{i}.mlp.fc1.bias": t(4 * D),
+            f"blocks.{i}.mlp.fc2.weight": t(D, 4 * D),
+            f"blocks.{i}.mlp.fc2.bias": t(D),
+        })
+    path = str(tmp_path / "ckpt.pth")
+    blob = {"flat": sd, "model": {"model": sd},
+            "state_dict": {"state_dict": sd}}[nesting]
+    torch.save(blob, path)
+    params = C_mod_load(path, cfg)
+    assert params["blocks"]["qkv"]["kernel"].shape == (L, D, 3 * D)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]),
+        sd["head.weight"].numpy().T, rtol=1e-6)
+    # converted params actually run
+    img = jnp.asarray(np.random.RandomState(0).randn(3, 32, 32), jnp.float32)
+    logits = vit_mod.forward(params, img, cfg)
+    assert logits.shape == (C,) and bool(jnp.isfinite(logits).all())
+
+
+def C_mod_load(path, cfg):
+    return C.load_vit_checkpoint(path, cfg)
+
+
+def test_distilled_state_dict_conversion():
+    torch = pytest.importorskip("torch")
+    from transformer_explainability_tpu.models.vit import (
+        DEIT_BASE_DISTILLED_16_224)
+    import dataclasses
+    cfg = dataclasses.replace(DEIT_BASE_DISTILLED_16_224, img_size=32,
+                              embed_dim=8, depth=1, num_heads=2,
+                              num_classes=4)
+    g = torch.Generator().manual_seed(0)
+    D, C_, P = 8, 4, 16
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {"patch_embed.proj.weight": t(D, 3, P, P),
+          "patch_embed.proj.bias": t(D),
+          "cls_token": t(1, 1, D), "dist_token": t(1, 1, D),
+          "pos_embed": t(1, cfg.num_tokens, D),
+          "norm.weight": t(D), "norm.bias": t(D),
+          "head.weight": t(C_, D), "head.bias": t(C_),
+          "head_dist.weight": t(C_, D), "head_dist.bias": t(C_),
+          "blocks.0.norm1.weight": t(D), "blocks.0.norm1.bias": t(D),
+          "blocks.0.attn.qkv.weight": t(3 * D, D),
+          "blocks.0.attn.qkv.bias": t(3 * D),
+          "blocks.0.attn.proj.weight": t(D, D),
+          "blocks.0.attn.proj.bias": t(D),
+          "blocks.0.norm2.weight": t(D), "blocks.0.norm2.bias": t(D),
+          "blocks.0.mlp.fc1.weight": t(4 * D, D),
+          "blocks.0.mlp.fc1.bias": t(4 * D),
+          "blocks.0.mlp.fc2.weight": t(D, 4 * D),
+          "blocks.0.mlp.fc2.bias": t(D)}
+    params = C.vit_params_from_torch_state_dict(sd, cfg)
+    assert "dist_token" in params and "head_dist" in params
+    assert params["pos_embed"].shape == (cfg.num_tokens, D)
+    img = jnp.asarray(np.random.RandomState(0).randn(3, 32, 32), jnp.float32)
+    logits = vit_mod.forward(params, img, cfg)
+    assert logits.shape == (C_,) and bool(jnp.isfinite(logits).all())
+
+
 def test_default_cfgs_registry():
     assert set(C.DEFAULT_CFGS) == {"vit_base_patch16_224",
                                    "vit_large_patch16_224",
