@@ -40,7 +40,10 @@ def _chain_kernel(mats_ref, out_ref, *, n_layers: int):
     batch grid dimension — no ``program_id`` dependence here)."""
     joint = mats_ref[0]
     def body(i, joint):
-        return jnp.dot(mats_ref[i], joint, preferred_element_type=jnp.float32)
+        # pin the precision: Mosaic rejects the ambient HIGH (tf32) setting,
+        # and the chain is a negligible share of total FLOPs anyway
+        return jnp.dot(mats_ref[i], joint, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jax.lax.fori_loop(1, n_layers, body, joint)
 
 
