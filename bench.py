@@ -24,18 +24,22 @@ def main():
     from transformer_explainability_tpu.explain.generator import make_explain_fn
 
     # Precision ladder (batch 64, this chip; see PERF.md):
-    #   float32 (6-pass)      102/s  exact parity
-    #   tensorfloat32 (3-pass) 157/s  heatmap corr vs f32 >= 0.998 (random wts)
-    #   bfloat16 (1-pass)      251/s  corr ~0.84 on random weights (the LRP
-    #                                 divide chain amplifies 8-bit rounding)
-    # Default: tensorfloat32 — the near-parity production point.
+    #   float32 (6-pass)                    102/s  exact parity
+    #   tensorfloat32 (3-pass)              157/s  corr vs f32 >= 0.998
+    #   tf32 fwd/bwd + bf16 LRP rules       177/s  corr vs f32 >= 0.982
+    #   bfloat16 (1-pass)                   251/s  corr ~0.84 on random wts
+    # Default: the mixed near-parity production point.
     precision = os.environ.get("BENCH_PRECISION", "tensorfloat32")
+    relprop_precision = os.environ.get("BENCH_RELPROP_PRECISION", "bfloat16")
+    if relprop_precision in ("", "none"):
+        relprop_precision = None
     cfg = VIT_BASE_16_224
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
 
     fn = make_explain_fn(cfg, method="transformer_attribution",
-                         matmul_precision=precision)
+                         matmul_precision=precision,
+                         relprop_precision=relprop_precision)
 
     batch_candidates = [int(b) for b in
                         os.environ.get("BENCH_BATCHES", "64,32").split(",")]

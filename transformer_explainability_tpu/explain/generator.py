@@ -74,7 +74,8 @@ def _forward_with_attn_grads(params, img, index, cfg: ViTConfig):
 def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 0, is_ablation: bool = False,
-                   alpha: float = 1.0, variant: str = "ours") -> Array:
+                   alpha: float = 1.0, variant: str = "ours",
+                   relprop_precision: Optional[str] = None) -> Array:
     """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
 
     Output shapes (matching the reference per method):
@@ -96,7 +97,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         # block recompute (see vit.reverse_pass)
         R_tokens, attn_cams, attn_grads = vit_mod.reverse_pass(
             params, res, onehot, cfg, alpha=alpha, variant=variant,
-            need_grads=needs_grads, need_relprop=needs_relprop)
+            need_grads=needs_grads, need_relprop=needs_relprop,
+            relprop_precision=relprop_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -149,18 +151,24 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
 def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     start_layer: int = 0, is_ablation: bool = False,
                     alpha: float = 1.0, variant: str = "ours",
-                    matmul_precision: str = "float32"):
+                    matmul_precision: str = "float32",
+                    relprop_precision: Optional[str] = None):
     """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
 
     images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
     ``matmul_precision``: "float32" for reference parity (fp32 accumulation on
     the MXU), "bfloat16"/"tensorfloat32" for throughput.
+    ``relprop_precision``: optional override for the LRP rules only — they
+    tolerate 1-pass bf16 while the forward/backward needs >=tf32 (PERF.md),
+    so (matmul="tensorfloat32", relprop="bfloat16") is the fast near-parity
+    production point.
     """
 
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, img, index, cfg, method,
-                                  start_layer, is_ablation, alpha, variant)
+                                  start_layer, is_ablation, alpha, variant,
+                                  relprop_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
 

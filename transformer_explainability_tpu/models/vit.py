@@ -284,15 +284,36 @@ def forward(params: Params, img: Array, cfg: ViTConfig) -> Array:
 # Relprop
 # ---------------------------------------------------------------------------
 
+# Precision note: measurements (PERF.md) show the LRP *rules* tolerate
+# 1-pass bf16 matmuls (relevance errors enter multiplicatively), while the
+# forward/backward chain needs >=3-pass tf32 (attention-gradient rounding is
+# amplified by softmax saturation). `relprop_precision` selects the rules'
+# precision independently of the ambient one.
+RELPROP_PRECISION: Optional[str] = None  # deprecated; use relprop_precision
+
+
 def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
                   cfg: ViTConfig, alpha: float, variant: str,
-                  acts: Optional[BlockActs] = None
+                  acts: Optional[BlockActs] = None,
+                  relprop_precision: Optional[str] = None
                   ) -> Tuple[Array, Array, Array]:
     """LRP through one block, reverse order (reference ViT_LRP.py:203-213 and
     Attention.relprop :154-177). Recomputes the block's activations from the
     (x_in, x_mid) anchors unless ``acts`` is supplied (the fused reverse pass
     shares one recompute between gradient and relevance).
     Returns (R_in, attn_cam, v_cam)."""
+    prec = relprop_precision or RELPROP_PRECISION
+    if prec is not None:
+        with jax.default_matmul_precision(prec):
+            return _block_relprop_impl(R, x_in, x_mid, bp, cfg, alpha,
+                                       variant, acts)
+    return _block_relprop_impl(R, x_in, x_mid, bp, cfg, alpha, variant, acts)
+
+
+def _block_relprop_impl(R: Array, x_in: Array, x_mid: Array, bp: Params,
+                        cfg: ViTConfig, alpha: float, variant: str,
+                        acts: Optional[BlockActs] = None
+                        ) -> Tuple[Array, Array, Array]:
     if acts is None:
         acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
 
@@ -440,7 +461,8 @@ def block_backward(g_out: Array, x_in: Array, x_mid: Array,
 
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: ViTConfig, alpha: float = 1.0, variant: str = "ours",
-                 need_grads: bool = True, need_relprop: bool = True
+                 need_grads: bool = True, need_relprop: bool = True,
+                 relprop_precision: Optional[str] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """ONE reverse scan computing the class gradient w.r.t. every post-softmax
     attention map AND the LRP relevance chain, sharing a single recompute of
@@ -484,8 +506,9 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         else:
             g_in, g_tap = g_out, None
         if need_relprop:
-            R_in, attn_cam, _ = block_relprop(Rc, x_in, x_mid, bp, cfg,
-                                              alpha, variant, acts=acts)
+            R_in, attn_cam, _ = block_relprop(
+                Rc, x_in, x_mid, bp, cfg, alpha, variant, acts=acts,
+                relprop_precision=relprop_precision)
         else:
             R_in, attn_cam = Rc, None
         return (g_in, R_in), (attn_cam, g_tap)
