@@ -52,7 +52,8 @@ def _forward_with_attn_grads(params, input_ids, attention_mask, index,
 def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 11, alpha: float = 1.0,
-                   variant: str = "ours"):
+                   variant: str = "ours",
+                   relprop_precision: Optional[str] = None):
     """Per-example BERT explanation. Returns an (S,) token-relevance row."""
     if method not in METHODS:
         raise ValueError(
@@ -67,7 +68,8 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
         # one layer recompute
         R_tokens, attn_cams, attn_grads = bert_mod.reverse_pass(
             params, res, onehot, cfg, alpha=alpha, variant=variant,
-            need_grads=needs_grads, need_relprop=needs_relprop)
+            need_grads=needs_grads, need_relprop=needs_relprop,
+            relprop_precision=relprop_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -107,7 +109,8 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
 def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
                     start_layer: int = 11, alpha: float = 1.0,
                     variant: str = "ours",
-                    matmul_precision: str = "float32"):
+                    matmul_precision: str = "float32",
+                    relprop_precision: Optional[str] = None):
     """Jitted, vmapped ``fn(params, input_ids, attention_mask, indices)``.
 
     input_ids (B, S) int32; attention_mask (B, S); indices (B,) int32 with -1
@@ -119,7 +122,8 @@ def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
     def single(params, ids, mask, index):
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, ids, mask, index, cfg, method,
-                                  start_layer, alpha, variant)
+                                  start_layer, alpha, variant,
+                                  relprop_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0)))
 

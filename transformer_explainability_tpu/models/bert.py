@@ -284,11 +284,18 @@ def train_forward(params: Params, input_ids: Array, attention_mask: Array,
 
 def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
                   ext_mask: Array, cfg: BertConfig, alpha: float,
-                  variant: str, acts: Optional[LayerActs] = None
+                  variant: str, acts: Optional[LayerActs] = None,
+                  relprop_precision: Optional[str] = None
                   ) -> Tuple[Array, Array]:
     """LRP through one encoder layer (reference BertLayer.relprop
     ``BERT.py:521-530`` + BertSelfAttention.relprop ``:367-409``).
-    Returns (R_in, attn_cam)."""
+    Returns (R_in, attn_cam). ``relprop_precision`` optionally runs the
+    rules at a different MXU precision than the ambient one (see
+    vit.block_relprop)."""
+    if relprop_precision is not None:
+        with jax.default_matmul_precision(relprop_precision):
+            return layer_relprop(R, x_in, att_ln, lp, ext_mask, cfg, alpha,
+                                 variant, acts)
     if acts is None:
         _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
 
@@ -418,7 +425,8 @@ def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
 
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: BertConfig, alpha: float = 1.0, variant: str = "ours",
-                 need_grads: bool = True, need_relprop: bool = True
+                 need_grads: bool = True, need_relprop: bool = True,
+                 relprop_precision: Optional[str] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """Fused reverse scan: class gradient w.r.t. every post-softmax attention
     map + LRP relevance, sharing one recompute per layer (see
@@ -454,7 +462,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         if need_relprop:
             R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp,
                                            res.ext_mask, cfg, alpha, variant,
-                                           acts=acts)
+                                           acts=acts,
+                                           relprop_precision=relprop_precision)
         else:
             R_in, attn_cam = Rc, None
         return (g_in, R_in), (attn_cam, g_tap)
