@@ -15,7 +15,6 @@ lower better; negative: higher better).
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Dict, Optional
 
 import jax

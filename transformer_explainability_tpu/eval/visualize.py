@@ -11,7 +11,7 @@ bilinear upsample exactly as the reference (:98-101).
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ need, since the method is a static argument.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -30,7 +29,6 @@ import numpy as np
 
 from transformer_explainability_tpu.models import vit as vit_mod
 from transformer_explainability_tpu.models.vit import ViTConfig
-from transformer_explainability_tpu.ops import relprop as rp
 from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 Array = jax.Array

@@ -32,7 +32,6 @@ variant attention-focused): Softmax, LayerNorm, GELU, ReLU, Tanh, Dropout
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax

@@ -27,7 +27,7 @@ import logging
 import os
 import pickle
 import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
