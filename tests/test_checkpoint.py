@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import optax
+import pytest
 
 from transformer_explainability_tpu.models.vit import ViTConfig, init_params
 from transformer_explainability_tpu.utils import checkpoint as ckpt
@@ -34,4 +35,17 @@ def test_train_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree_util.tree_leaves(opt_state),
                     jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=2, num_classes=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "orbax_ck")
+    ckpt.save_pytree_orbax(path, params)
+    out = ckpt.load_pytree_orbax(path, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

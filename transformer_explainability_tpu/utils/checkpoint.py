@@ -60,3 +60,17 @@ def restore_train_state(path_prefix: str, params_like, opt_state_like
 
 def has_train_state(path_prefix: str) -> bool:
     return os.path.exists(path_prefix + ".params.npz")
+
+
+# Optional orbax backend — the standard JAX ecosystem checkpointer (async,
+# sharding-aware, multi-host safe), preferred for large sharded train states.
+def save_pytree_orbax(path: str, tree) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, like):
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), like)
