@@ -98,22 +98,26 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
     def dispatched():
         """Pipeline device dispatch against host postprocessing: enqueue the
         next batch's explain before transferring the current one (the axon
-        relay's per-call latency hides behind device compute)."""
+        relay's per-call latency hides behind device compute). Ragged final
+        batches are padded to ``batch_size`` so one compiled program serves
+        the whole run (a second compile costs minutes on a relay)."""
         pending = None
         for imgs, labels in it:
             B = imgs.shape[0]
-            idx = np.full((B,), -1, np.int32)   # predicted-class explanations
+            if B < batch_size:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], batch_size - B, axis=0)])
+            idx = np.full((imgs.shape[0],), -1, np.int32)  # predicted class
             out = explain_fn(params, jax.numpy.asarray(imgs),
                              jax.numpy.asarray(idx))
             if pending is not None:
                 yield pending
-            pending = (out, labels)
+            pending = (out, B, labels)
         if pending is not None:
             yield pending
 
-    for out, labels in dispatched():
-        heat = np.asarray(out, np.float32)
-        B = heat.shape[0]
+    for out, B, labels in dispatched():
+        heat = np.asarray(out, np.float32)[:B]
         if method == "full_lrp":
             maps = heat.reshape(B, cfg.img_size, cfg.img_size)
         else:

@@ -59,31 +59,41 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
     g = cfg.grid
     n_written = 0
 
+    batch_size = None
+
     def dispatched():
-        # pipeline device dispatch against the gzip-compressed hdf5 writes
+        # pipeline device dispatch against the gzip-compressed hdf5 writes;
+        # ragged final batches padded to the first batch's size (one compile)
+        nonlocal batch_size
         pending = None
         for images, targets in data_iter:
             B = images.shape[0]
+            if batch_size is None:
+                batch_size = B
+            if B < batch_size:
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], batch_size - B, axis=0)])
             if vis_class == "top":
-                idx = np.full((B,), -1, np.int32)
+                idx = np.full((images.shape[0],), -1, np.int32)
             elif vis_class == "target":
-                idx = np.asarray(targets, np.int32)
+                idx = np.full((images.shape[0],), 0, np.int32)
+                idx[:B] = np.asarray(targets, np.int32)
             elif vis_class == "index":
-                idx = np.full((B,), class_id, np.int32)
+                idx = np.full((images.shape[0],), class_id, np.int32)
             else:
                 raise ValueError(vis_class)
             norm = (np.asarray(images, np.float32) - MEAN) / STD
             out = explain_fn(params, jnp.asarray(norm), jnp.asarray(idx))
             if pending is not None:
                 yield pending
-            pending = (out, images, targets)
+            pending = (out, B, images, targets)
         if pending is not None:
             yield pending
 
     with ResultsWriter(out_path, cfg.img_size) as w:
-        for out, images, targets in dispatched():
-            heat = np.asarray(out, np.float32)
-            B = heat.shape[0]
+        for out, B, images, targets in dispatched():
+            heat = np.asarray(out, np.float32)[:B]
+            images = images[:B]
             if method == "full_lrp":
                 res = heat.reshape(B, 1, cfg.img_size, cfg.img_size)
             else:
