@@ -9,6 +9,10 @@ Without a checkpoint the model runs with random weights (pipeline demo only).
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -74,8 +74,11 @@ class Demo:
         self.cfg = cfg
         self.explainer = Explainer(params, cfg, variant=variant)
         self.params = params
+        # params as an argument, not a closure — closed-over params become
+        # giant baked-in constants (343MB for ViT-B) that break the
+        # remote-compile tunnel
         self._forward = jax.jit(jax.vmap(
-            lambda img: vit_mod.forward(params, img, cfg)))
+            lambda p, img: vit_mod.forward(p, img, cfg), in_axes=(None, 0)))
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: ViTConfig = VIT_BASE_16_224,
@@ -104,7 +107,8 @@ class Demo:
         return show_cam_on_image(np.clip(img01, 0, 1), hm)
 
     def predict(self, image) -> np.ndarray:
-        return np.asarray(self._forward(preprocess(image)[None]))[0]
+        return np.asarray(self._forward(self.params,
+                                        preprocess(image)[None]))[0]
 
     def print_top_classes(self, image, k: int = 5) -> list:
         """Softmax top-k with labels (example.ipynb ``print_top_classes``)."""
