@@ -37,10 +37,12 @@ _CLASSES_PATH = os.path.join(os.path.dirname(__file__), "utils",
 
 
 def imagenet_classes() -> dict:
-    """index (int) -> human-readable label (the reference's
-    ``samples/CLS2IDX.py`` table, stored as JSON data)."""
+    """index (int) -> human-readable label (the public ILSVRC2012 label
+    table — same factual data as the reference's ``samples/CLS2IDX.py`` —
+    stored as JSON with a ``_source`` provenance key)."""
     with open(_CLASSES_PATH) as f:
-        return {int(k): v for k, v in json.load(f).items()}
+        return {int(k): v for k, v in json.load(f).items()
+                if not k.startswith("_")}
 
 
 def preprocess(image, size: int = 224) -> np.ndarray:
