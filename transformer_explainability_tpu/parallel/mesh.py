@@ -59,13 +59,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-def vit_param_pspecs(cfg: ViTConfig, qkv_bias: bool = True):
+def vit_param_pspecs(cfg: ViTConfig, qkv_bias: Optional[bool] = None):
     """PartitionSpecs for the ViT pytree under a (data, model) mesh.
 
     Megatron-style: qkv/fc1 column-parallel (shard the output feature dim),
     proj/fc2 row-parallel (shard the input feature dim); everything small is
-    replicated. Block kernels carry a leading stacked-depth axis.
+    replicated. Block kernels carry a leading stacked-depth axis. The tree
+    structure follows ``cfg`` (qkv_bias, distilled) so it always matches
+    ``init_params``/converted checkpoints.
     """
+    if qkv_bias is None:
+        qkv_bias = cfg.qkv_bias
     blocks = {
         "norm1": {"scale": P(), "bias": P()},
         "qkv": {"kernel": P(None, None, "model")},
@@ -76,7 +80,7 @@ def vit_param_pspecs(cfg: ViTConfig, qkv_bias: bool = True):
     }
     if qkv_bias:
         blocks["qkv"]["bias"] = P(None, "model")
-    return {
+    specs = {
         "patch_embed": {"kernel": P(), "bias": P()},
         "cls_token": P(),
         "pos_embed": P(),
@@ -84,6 +88,10 @@ def vit_param_pspecs(cfg: ViTConfig, qkv_bias: bool = True):
         "norm": {"scale": P(), "bias": P()},
         "head": {"kernel": P(), "bias": P()},
     }
+    if cfg.distilled:
+        specs["dist_token"] = P()
+        specs["head_dist"] = {"kernel": P(), "bias": P()}
+    return specs
 
 
 def shard_params(params, mesh: Mesh, pspecs=None, cfg: ViTConfig = None):

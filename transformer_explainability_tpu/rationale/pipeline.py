@@ -182,8 +182,14 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
         if epoch_data.get("done"):
             start_epoch = epochs
         results = epoch_data["results"]
-        best_epoch, best_val_acc = start_epoch, epoch_data["best_val_acc"]
-        logger.info("restored training at epoch %d", start_epoch)
+        best_val_acc = epoch_data["best_val_acc"]
+        # the saved checkpoint IS the best one: keep its epoch/loss so a
+        # resumed run neither overwrites it with an equal-accuracy,
+        # higher-loss epoch nor shifts the patience window
+        best_epoch = epoch_data.get("best_epoch", epoch_data["epoch"])
+        best_val_loss = epoch_data.get("best_val_loss", float("inf"))
+        logger.info("restored training at epoch %d (best epoch %d)",
+                    start_epoch, best_epoch)
     epoch_data = {}
 
     def run_val():
@@ -223,7 +229,9 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
             best_epoch, best_val_acc, best_val_loss = epoch, val_acc, val_loss
             _save_pytree(model_file, params)
             epoch_data = {"epoch": epoch, "results": results,
-                          "best_val_acc": best_val_acc, "done": 0}
+                          "best_val_acc": best_val_acc,
+                          "best_epoch": best_epoch,
+                          "best_val_loss": best_val_loss, "done": 0}
             with open(epoch_file, "w") as f:
                 json.dump(epoch_data, f)
         if epoch - best_epoch > patience:
@@ -231,7 +239,8 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
             break
 
     epoch_data = {"epoch": max(best_epoch, start_epoch), "results": results,
-                  "best_val_acc": best_val_acc, "done": 1}
+                  "best_val_acc": best_val_acc, "best_epoch": best_epoch,
+                  "best_val_loss": best_val_loss, "done": 1}
     with open(epoch_file, "w") as f:
         json.dump(epoch_data, f)
     if os.path.exists(model_file):
@@ -323,8 +332,11 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                            "hard_rationale_predictions": list(hard)}
                     if soft is not None:
                         rat["soft_rationale_predictions"] = soft
+                    # NOTE: the reference writes the docid as annotation_id
+                    # (:575) — correct only for movies where they coincide;
+                    # the scorer joins on annotation_id, so use the real one.
                     files[fi].write(json.dumps({
-                        "annotation_id": doc_name,
+                        "annotation_id": ann.annotation_id,
                         "rationales": [rat],
                     }) + "\n")
     finally:
