@@ -34,21 +34,6 @@ def _one_hot_index(logits, index, n):
     return jax.nn.one_hot(idx, n, dtype=logits.dtype)
 
 
-def _forward_with_attn_grads(params, input_ids, attention_mask, index,
-                             cfg: BertConfig):
-    S = input_ids.shape[0]
-
-    def score(taps):
-        logits, res = bert_mod.forward_collect(
-            params, input_ids, attention_mask, cfg, taps=taps)
-        onehot = _one_hot_index(logits, index, cfg.num_labels)
-        return jnp.sum(onehot * logits), (logits, res)
-
-    taps0 = jnp.zeros((cfg.num_layers, cfg.num_heads, S, S), jnp.float32)
-    grads, (logits, res) = jax.grad(score, has_aux=True)(taps0)
-    return logits, res, grads
-
-
 def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 11, alpha: float = 1.0,
@@ -132,11 +117,13 @@ class BertExplainer:
     """Batched, compiled analog of the reference Generator class."""
 
     def __init__(self, params, cfg: BertConfig, variant: str = "ours",
-                 matmul_precision: str = "float32"):
+                 matmul_precision: str = "float32",
+                 relprop_precision: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.variant = variant
         self.matmul_precision = matmul_precision
+        self.relprop_precision = relprop_precision
         self._fns = {}
 
     def explain(self, input_ids, attention_mask,
@@ -154,7 +141,7 @@ class BertExplainer:
         if key not in self._fns:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, alpha, self.variant,
-                self.matmul_precision)
+                self.matmul_precision, self.relprop_precision)
         return self._fns[key](self.params, ids, mask, idx)
 
     # reference Generator method names

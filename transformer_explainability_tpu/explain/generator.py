@@ -54,21 +54,6 @@ def _one_hot_index(logits: Array, index: Array, num_classes: int) -> Array:
     return jax.nn.one_hot(idx, num_classes, dtype=logits.dtype)
 
 
-def _forward_with_attn_grads(params, img, index, cfg: ViTConfig):
-    """Forward + gradients of the selected logit w.r.t. every post-softmax
-    attention map (replaces one_hot.backward + register_hook)."""
-
-    def score(taps):
-        logits, res = vit_mod.forward_collect(params, img, cfg, taps)
-        onehot = _one_hot_index(logits, index, cfg.num_classes)
-        return jnp.sum(onehot * logits), (logits, res)
-
-    taps0 = jnp.zeros((cfg.depth, cfg.num_heads, cfg.num_tokens,
-                       cfg.num_tokens), img.dtype)
-    grads, (logits, res) = jax.grad(score, has_aux=True)(taps0)
-    return logits, res, grads
-
-
 def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 0, is_ablation: bool = False,

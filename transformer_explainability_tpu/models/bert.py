@@ -346,24 +346,12 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
 def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
             alpha: float = 1.0, variant: str = "ours"
             ) -> Tuple[Array, Array]:
-    """classifier -> dropout(id) -> pooler -> encoder reversed
-    (reference BertForSequenceClassification.relprop + BertModel.relprop).
-    Returns (R_tokens at the embedding output, stacked attn_cams)."""
-    R = rp.linear_alphabeta(res.pooled, params["classifier"]["kernel"],
-                            R_logits, alpha, variant)
-    # pooler: tanh identity -> dense -> unsqueeze -> index-select
-    R = rp.linear_alphabeta(res.first_tok, params["pooler"]["kernel"], R,
-                            alpha, variant)
-    R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
-
-    def step(Rc, xs):
-        x_in, att_ln, lp = xs
-        R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp, res.ext_mask,
-                                       cfg, alpha, variant)
-        return R_in, attn_cam
-
-    R_tokens, attn_cams = jax.lax.scan(
-        step, R, (res.x_ins, res.att_lns, params["layers"]), reverse=True)
+    """classifier -> pooler -> encoder reversed (reference
+    BertForSequenceClassification.relprop + BertModel.relprop). Thin wrapper
+    over the fused :func:`reverse_pass` with gradients disabled."""
+    R_tokens, attn_cams, _ = reverse_pass(
+        params, res, R_logits, cfg, alpha=alpha, variant=variant,
+        need_grads=False, need_relprop=True)
     return R_tokens, attn_cams
 
 

@@ -384,27 +384,13 @@ def _block_acts_from_anchors(x_in: Array, x_mid: Array, bp: Params,
 def relprop(params: Params, res: Residuals, R_logits: Array, cfg: ViTConfig,
             alpha: float = 1.0, variant: str = "ours"
             ) -> Tuple[Array, Array]:
-    """Relevance propagation head -> pool -> norm -> blocks (reversed).
-
-    Mirrors reference ViT_LRP.py:324-332. Returns (R_tokens, attn_cams) where
-    R_tokens is the relevance at the block-0 input (n, D) and attn_cams is the
-    stacked (L, h, n, n) per-block attention relevance (the reference's
-    ``save_attn_cam`` values).
-    """
-    R = rp.linear_alphabeta(res.cls, params["head"]["kernel"], R_logits,
-                            alpha, variant)            # head (D,)
-    R = R[None, :]                                     # unsqueeze token axis
-    R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R)  # pool (n, D)
-    # final norm: identity rule
-
-    def step(Rc, xs):
-        x_in, x_mid, bp = xs
-        R_in, attn_cam, _ = block_relprop(Rc, x_in, x_mid, bp, cfg,
-                                          alpha, variant)
-        return R_in, attn_cam
-
-    R_tokens, attn_cams = jax.lax.scan(
-        step, R, (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
+    """Relevance propagation head -> pool -> norm -> blocks (reversed);
+    mirrors reference ViT_LRP.py:324-332. Thin wrapper over the fused
+    :func:`reverse_pass` with gradients disabled. Returns
+    (R_tokens, attn_cams)."""
+    R_tokens, attn_cams, _ = reverse_pass(
+        params, res, R_logits, cfg, alpha=alpha, variant=variant,
+        need_grads=False, need_relprop=True)
     return R_tokens, attn_cams
 
 
@@ -493,9 +479,25 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     # relevance seed: head -> pool -> final norm(identity) (ViT_LRP.py:327-330)
     R = None
     if need_relprop:
-        R = rp.linear_alphabeta(res.cls, params["head"]["kernel"], onehot,
-                                alpha, variant)
-        R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R[None, :])
+        if cfg.distilled:
+            # seed through the SAME fused output the gradient tail uses:
+            # logits = (head(cls) + head_dist(dist)) / 2. The /2 is a
+            # constant scale (identity rule); the Add splits relevance
+            # between the two heads, each then relprops through its Linear
+            # onto its own token row.
+            z1 = res.xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
+            z2 = (res.xn[1] @ params["head_dist"]["kernel"]
+                  + params["head_dist"]["bias"])
+            R1, R2 = rp.add_relprop(z1, z2, onehot, variant)
+            R_cls = rp.linear_alphabeta(res.xn[0], params["head"]["kernel"],
+                                        R1, alpha, variant)
+            R_dist = rp.linear_alphabeta(
+                res.xn[1], params["head_dist"]["kernel"], R2, alpha, variant)
+            R = jnp.zeros_like(res.xn).at[0].set(R_cls).at[1].set(R_dist)
+        else:
+            R = rp.linear_alphabeta(res.cls, params["head"]["kernel"],
+                                    onehot, alpha, variant)
+            R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R[None, :])
 
     def step(carry, xs):
         g_out, Rc = carry

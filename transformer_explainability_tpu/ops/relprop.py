@@ -133,8 +133,14 @@ def cat_relprop(xs: Sequence[Array], axis: int, R: Array) -> Tuple[Array, ...]:
     Z = jnp.concatenate(xs, axis=axis)
     S = safe_divide(R, Z)
     sizes = [x.shape[axis] for x in xs]
-    splits = list(jnp.split(S, list(jnp.cumsum(jnp.array(sizes[:-1]))), axis=axis)) \
-        if len(xs) > 1 else [S]
+    # static split points (shapes are trace-time constants) — a traced
+    # cumsum array would fail under jit
+    offsets = []
+    total = 0
+    for s in sizes[:-1]:
+        total += s
+        offsets.append(total)
+    splits = jnp.split(S, offsets, axis=axis) if len(xs) > 1 else [S]
     return tuple(x * s for x, s in zip(xs, splits))
 
 
@@ -380,13 +386,6 @@ def compute_rollout(cams: Array, start_layer: int = 0,
     for i in range(start_layer + 1, L):
         joint = mats[i] @ joint
     return joint
-
-
-def avg_heads_rollout_input(attn: Array) -> Array:
-    """Head-mean with row normalization used by the raw-attention rollout
-    baseline (reference ``baselines/ViT/ViT_explanation_generator.py:7-18``)."""
-    a = attn.mean(axis=0)
-    return a
 
 
 __all__ = [
