@@ -178,3 +178,42 @@ def test_default_cfgs_registry():
                                    "deit_base_distilled_patch16_224"}
     for cfg in C.DEFAULT_CFGS.values():
         assert cfg["url"].startswith("https://")
+
+def test_load_vit_checkpoint_npz_own_export(tmp_path):
+    """ADVICE r1: the .npz branch must accept the repo's own save_vit_npz
+    export (flat-pytree keystr layout), not just torch state-dict keys."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    path = str(tmp_path / "export.npz")
+    C.save_vit_npz(path, params)
+    loaded = C.load_vit_checkpoint(path, CFG)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resize_pos_embed_distilled_prefix():
+    """ADVICE r1: two prefix rows (CLS+DIST) must be carried through, with
+    the grid computed from new_tokens - 2."""
+    rng = np.random.RandomState(0)
+    pe = rng.randn(2 + 4, 6).astype(np.float32)       # 2 prefix + 2x2 grid
+    out = C.resize_pos_embed(pe, 2 + 16, num_prefix_tokens=2)
+    assert out.shape == (18, 6)
+    np.testing.assert_allclose(out[:2], pe[:2])       # CLS+DIST untouched
+
+
+def test_adapt_pretrained_distilled_resolution_change():
+    """End-to-end: a distilled config at a new resolution keeps both prefix
+    rows and adapts head_dist alongside head."""
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=2, num_classes=10, distilled=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tgt = ViTConfig(img_size=64, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=2, num_classes=4, distilled=True)
+    adapted = C.adapt_pretrained(params, tgt, pretrained_classes=10)
+    assert adapted["pos_embed"].shape == (tgt.num_tokens, 32)
+    np.testing.assert_allclose(np.asarray(adapted["pos_embed"][:2]),
+                               np.asarray(params["pos_embed"][:2]))
+    assert adapted["head_dist"]["kernel"].shape == (32, 4)
+    img = jnp.asarray(np.random.RandomState(0).randn(3, 64, 64), jnp.float32)
+    logits = vit_mod.forward(adapted, img, tgt)
+    assert logits.shape == (4,) and bool(jnp.isfinite(logits).all())

@@ -154,3 +154,21 @@ def test_seg_metrics_parity_vs_reference():
         rf1 = ref_M.get_f1_scores(torch.tensor(pred1[None]), t_lab)
         gf1 = M.get_f1_scores(pred1, label)
         np.testing.assert_allclose(rf1, gf1, rtol=1e-6)
+
+
+def test_confusion_matrix_class_scores_input():
+    """ADVICE r1: (N, K) class-score input must be argmaxed over axis 1
+    (reference utils/confusionmatrix.py:48-52), for both operands."""
+    from transformer_explainability_tpu.utils.iou import ConfusionMatrix
+    rng = np.random.RandomState(0)
+    scores = rng.randn(12, 3).astype(np.float32)
+    labels = rng.randint(0, 3, 12)
+    cm = ConfusionMatrix(3)
+    cm.add(scores, labels)
+    cm2 = ConfusionMatrix(3)
+    cm2.add(scores.argmax(1), labels)
+    np.testing.assert_array_equal(cm.value(), cm2.value())
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    cm3 = ConfusionMatrix(3)
+    cm3.add(scores, onehot)
+    np.testing.assert_array_equal(cm3.value(), cm2.value())

@@ -289,7 +289,6 @@ def forward(params: Params, img: Array, cfg: ViTConfig) -> Array:
 # forward/backward chain needs >=3-pass tf32 (attention-gradient rounding is
 # amplified by softmax saturation). `relprop_precision` selects the rules'
 # precision independently of the ambient one.
-RELPROP_PRECISION: Optional[str] = None  # deprecated; use relprop_precision
 
 
 def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
@@ -302,9 +301,8 @@ def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
     (x_in, x_mid) anchors unless ``acts`` is supplied (the fused reverse pass
     shares one recompute between gradient and relevance).
     Returns (R_in, attn_cam, v_cam)."""
-    prec = relprop_precision or RELPROP_PRECISION
-    if prec is not None:
-        with jax.default_matmul_precision(prec):
+    if relprop_precision is not None:
+        with jax.default_matmul_precision(relprop_precision):
             return _block_relprop_impl(R, x_in, x_mid, bp, cfg, alpha,
                                        variant, acts)
     return _block_relprop_impl(R, x_in, x_mid, bp, cfg, alpha, variant, acts)

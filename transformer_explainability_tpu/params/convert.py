@@ -221,21 +221,24 @@ def adapt_classifier(head: Dict[str, Any], num_classes: int,
             "bias": jnp.zeros((num_classes,), jnp.float32)}
 
 
-def resize_pos_embed(pos_embed: np.ndarray, new_tokens: int) -> np.ndarray:
-    """Bilinear grid interpolation of the (1+N, D) position table for a
-    different image resolution — the timm capability the TPU build adds so
-    one checkpoint serves multiple input sizes."""
+def resize_pos_embed(pos_embed: np.ndarray, new_tokens: int,
+                     num_prefix_tokens: int = 1) -> np.ndarray:
+    """Bilinear grid interpolation of the (n_prefix+N, D) position table for
+    a different image resolution — the timm capability the TPU build adds so
+    one checkpoint serves multiple input sizes. ``num_prefix_tokens`` is 1
+    for plain ViT (CLS) and 2 for distilled DeiT (CLS+DIST); prefix rows are
+    carried through untouched, only the patch grid is interpolated."""
     import jax
     pe = np.asarray(pos_embed)
     if pe.shape[0] == new_tokens:
         return pe
-    cls, grid = pe[:1], pe[1:]
+    prefix, grid = pe[:num_prefix_tokens], pe[num_prefix_tokens:]
     g_old = int(np.sqrt(grid.shape[0]))
-    g_new = int(np.sqrt(new_tokens - 1))
+    g_new = int(np.sqrt(new_tokens - num_prefix_tokens))
     grid = grid.reshape(g_old, g_old, -1)
     grid = np.asarray(jax.image.resize(
         jnp.asarray(grid), (g_new, g_new, grid.shape[-1]), "bilinear"))
-    return np.concatenate([cls, grid.reshape(g_new * g_new, -1)], axis=0)
+    return np.concatenate([prefix, grid.reshape(g_new * g_new, -1)], axis=0)
 
 
 def adapt_pretrained(params: Dict[str, Any], cfg: ViTConfig,
@@ -251,8 +254,12 @@ def adapt_pretrained(params: Dict[str, Any], cfg: ViTConfig,
                                      kernel=jnp.asarray(k))
     params["head"] = adapt_classifier(params["head"], cfg.num_classes,
                                       pretrained_classes, key)
+    if "head_dist" in params:
+        params["head_dist"] = adapt_classifier(
+            params["head_dist"], cfg.num_classes, pretrained_classes, key)
     params["pos_embed"] = jnp.asarray(
-        resize_pos_embed(params["pos_embed"], cfg.num_tokens))
+        resize_pos_embed(params["pos_embed"], cfg.num_tokens,
+                         cfg.num_prefix_tokens))
     return params
 
 
@@ -277,6 +284,15 @@ def load_vit_checkpoint(path: str, cfg: ViTConfig, dtype=jnp.float32):
     """
     if path.endswith(".npz"):
         sd = dict(np.load(path))
+        if "patch_embed.proj.weight" not in sd:
+            # Not a torch state-dict export: this is the repo's own flat
+            # pytree layout (save_vit_npz / utils.checkpoint.save_pytree,
+            # jax keystr keys) — restore it against a like-shaped pytree.
+            from transformer_explainability_tpu.models.vit import init_params
+            import jax
+            like = init_params(jax.random.PRNGKey(0), cfg)
+            return jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                                load_npz_pytree(path, like))
     else:
         import torch
         ckpt = torch.load(path, map_location="cpu", weights_only=False)

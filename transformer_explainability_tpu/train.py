@@ -65,11 +65,26 @@ def make_train_step(cfg: ViTConfig, optimizer,
                        is_leaf=lambda x: isinstance(x, P))
     dsh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
-    # optimizer state mirrors the param tree layout; let jit infer it from
-    # input shardings (opt_state entries follow params via init below).
+    # Lay the optimizer state out explicitly: any param-shaped slot (Adam
+    # mu/nu) follows the param shardings; scalar slots (step count) are
+    # replicated. Inference from inputs would work on a CPU mesh but leaves
+    # the moments' layout to chance on real hardware.
+    param_shapes = jax.eval_shape(
+        lambda k: vit_mod.init_params(k, cfg), jax.random.PRNGKey(0))
+    params_struct = jax.tree_util.tree_structure(param_shapes)
+
+    def _is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == params_struct
+        except Exception:
+            return False
+
+    opt_shapes = jax.eval_shape(optimizer.init, param_shapes)
+    osh = jax.tree.map(lambda n: psh if _is_param_tree(n) else rep,
+                       opt_shapes, is_leaf=_is_param_tree)
     return jax.jit(step,
-                   in_shardings=(psh, None, dsh, dsh),
-                   out_shardings=(psh, None, rep))
+                   in_shardings=(psh, osh, dsh, dsh),
+                   out_shardings=(psh, osh, rep))
 
 
 def init_train_state(key, cfg: ViTConfig, optimizer,

@@ -17,13 +17,20 @@ class ConfusionMatrix:
         self.conf.fill(0)
 
     def add(self, predicted: np.ndarray, target: np.ndarray):
-        predicted = np.asarray(predicted).reshape(-1)
-        target = np.asarray(target).reshape(-1)
+        """Accepts either N integer labels or (N, K) class scores / one-hot
+        rows, dispatching on ndim like the reference
+        (``utils/confusionmatrix.py:48-67``)."""
+        predicted = np.asarray(predicted)
+        target = np.asarray(target)
         assert predicted.shape[0] == target.shape[0]
-        if predicted.dtype.kind == "f":
+        if predicted.ndim != 1:
+            assert predicted.shape[1] == self.num_classes
             predicted = predicted.argmax(1)
-        if target.dtype.kind == "f":
+        if target.ndim != 1:
+            assert target.shape[1] == self.num_classes
             target = target.argmax(1)
+        predicted = predicted.reshape(-1)
+        target = target.reshape(-1)
         mask = (target >= 0) & (target < self.num_classes)
         x = predicted[mask] + self.num_classes * target[mask]
         bincount = np.bincount(x.astype(np.int64),

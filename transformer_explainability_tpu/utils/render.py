@@ -1,7 +1,8 @@
 """Heatmap rendering — behavioral port of reference ``utils/render.py``
-(``hm_to_rgb`` :153, seismic colormap; digit/border helpers omitted as they
-are unused by the live harnesses). Uses scipy.ndimage for the gaussian blur
-instead of skimage (not in this image)."""
+(``hm_to_rgb`` :153, seismic colormap). The reference's digit/border helpers
+and its optional contour/gaussian-blur rendering paths are omitted: nothing
+in the live harnesses exercises them (the seg eval calls ``hm_to_rgb`` with
+defaults only, ``imagenet_seg_eval.py:255``)."""
 
 from __future__ import annotations
 
