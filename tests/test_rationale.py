@@ -296,3 +296,22 @@ def test_pipeline_end_to_end(tmp_path):
         params, cfg, train, val, interned, classes, str(out_dir),
         batch_size=2, epochs=2, patience=1, lr=1e-3)
     assert results2["train_loss"] == results["train_loss"]
+
+
+def test_shipped_task_configs_schema():
+    """configs/*.json must parse and carry everything run_pipeline consumes
+    (max_length, bert_vocab, evidence_classifier.classes/batch_size/epochs/
+    patience/lr/max_grad_norm) in the reference BERT_params schema."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.json")))
+    assert any(p.endswith("movies_bert.json") for p in paths), paths
+    for p in paths:
+        with open(p) as f:
+            mp = json.load(f)
+        assert isinstance(mp["max_length"], int) and mp["max_length"] > 0
+        assert isinstance(mp["bert_vocab"], str)
+        ec = mp["evidence_classifier"]
+        assert isinstance(ec["classes"], list) and len(ec["classes"]) >= 2
+        for k in ("batch_size", "epochs", "patience", "lr", "max_grad_norm"):
+            assert k in ec, (p, k)

@@ -428,7 +428,9 @@ def main(argv=None):
     parser.add_argument("--data_dir", required=True)
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--model_params", required=True,
-                        help="JSON file (BERT_params schema)")
+                        help="JSON task config in the reference BERT_params "
+                             "schema; shipped ones live in configs/ "
+                             "(e.g. configs/movies_bert.json)")
     parser.add_argument("--method", default="transformer_attribution",
                         choices=sorted(METHOD_TABLE))
     parser.add_argument("--pretrained", default=None,
