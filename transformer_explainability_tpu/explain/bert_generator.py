@@ -130,6 +130,12 @@ class BertExplainer:
                 indices: Optional[np.ndarray] = None,
                 method: str = "transformer_attribution",
                 start_layer: int = 11, alpha: float = 1.0):
+        """Any batch size is accepted; the batch dim is padded to a
+        power-of-two bucket (compile-once discipline; sequence length stays
+        exact — token results must not depend on mask-padding length).
+        Results are sliced back to B."""
+        from transformer_explainability_tpu.utils.batching import (
+            bucket_size, pad_axis0)
         ids = jnp.asarray(input_ids, jnp.int32)
         if ids.ndim == 1:
             ids = ids[None]
@@ -142,7 +148,10 @@ class BertExplainer:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, alpha, self.variant,
                 self.matmul_precision, self.relprop_precision)
-        return self._fns[key](self.params, ids, mask, idx)
+        Bp = bucket_size(B)
+        out = self._fns[key](self.params, pad_axis0(ids, Bp),
+                             pad_axis0(mask, Bp), pad_axis0(idx, Bp))
+        return out[:B] if Bp != B else out
 
     # reference Generator method names
     def generate_LRP(self, ids, mask, index=None, start_layer=11):

@@ -185,6 +185,12 @@ class Explainer:
     def explain(self, images, indices: Optional[np.ndarray] = None,
                 method: str = "transformer_attribution", start_layer: int = 0,
                 is_ablation: bool = False, alpha: float = 1.0):
+        """Any batch size is accepted; internally the batch is padded to a
+        power-of-two bucket so each method compiles at most once per bucket
+        (compile-once discipline — a stray shape costs minutes on the
+        remote-compile relay). Results are sliced back to B."""
+        from transformer_explainability_tpu.utils.batching import (
+            bucket_size, pad_axis0)
         images = jnp.asarray(images)
         if images.ndim == 3:
             images = images[None]
@@ -193,8 +199,10 @@ class Explainer:
             idx = jnp.full((B,), -1, jnp.int32)
         else:
             idx = jnp.asarray(indices, jnp.int32).reshape(B)
+        Bp = bucket_size(B)
         fn = self._fn(method, start_layer, is_ablation, alpha)
-        return fn(self.params, images, idx)
+        out = fn(self.params, pad_axis0(images, Bp), pad_axis0(idx, Bp))
+        return out[:B] if Bp != B else out
 
     # the reference Baselines API surface
     def generate_rollout(self, images, start_layer: int = 0):

@@ -108,6 +108,24 @@ def _batch_arrays(anns: List[Annotation], interned, classes: Dict[str, int]):
     return ids, mask, targets
 
 
+def _padded_batch(anns: List[Annotation], interned, classes: Dict[str, int]):
+    """Batch arrays padded (edge-replicated) to a power-of-two bucket, plus
+    the 0/1 row-weight vector and the real row count — so ragged final
+    batches never trigger a fresh XLA compile (minutes on the relay)."""
+    from transformer_explainability_tpu.utils.batching import bucket_size
+    ids, mask, targets = _batch_arrays(anns, interned, classes)
+    B = len(anns)
+    Bp = bucket_size(B)
+    weights = np.zeros(Bp, np.float32)
+    weights[:B] = 1.0
+    if Bp != B:
+        pad = Bp - B
+        ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
+        mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
+        targets = np.concatenate([targets, np.repeat(targets[-1:], pad)])
+    return ids, mask, targets, weights, B
+
+
 # ---------------------------------------------------------------------------
 # Training
 # ---------------------------------------------------------------------------
@@ -116,9 +134,13 @@ def make_train_step(cfg: BertConfig, opt, max_grad_norm: Optional[float],
                     dropout: float = 0.1):
     """One jitted step: sum-CE loss over the batch (reference uses
     ``CrossEntropyLoss(reduction='none').sum()``, :345), Adam update,
-    optional global-norm clip (:349-351)."""
+    optional global-norm clip (:349-351).
 
-    def loss_fn(params, ids, mask, targets, rng):
+    ``weights`` (B,) multiplies the per-example losses: 1 for real rows, 0
+    for batch-padding rows, so a ragged final batch can be padded to the
+    compiled shape without perturbing the update (compile-once discipline)."""
+
+    def loss_fn(params, ids, mask, targets, weights, rng):
         rngs = jax.random.split(rng, ids.shape[0])
         logits = jax.vmap(
             lambda i, m, r: bert_mod.train_forward(
@@ -126,18 +148,18 @@ def make_train_step(cfg: BertConfig, opt, max_grad_norm: Optional[float],
                 attn_dropout=dropout))(ids, mask, rngs)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             logits, targets)
-        return losses.sum(), logits
+        return (losses * weights).sum(), logits
 
     chain = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm else []
     tx = optax.chain(*chain, opt)
 
     @jax.jit
-    def step(params, opt_state, ids, mask, targets, rng):
+    def step(params, opt_state, ids, mask, targets, weights, rng):
         (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, ids, mask, targets, rng)
+            loss_fn, has_aux=True)(params, ids, mask, targets, weights, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        correct = jnp.sum(jnp.argmax(logits, -1) == targets)
+        correct = jnp.sum((jnp.argmax(logits, -1) == targets) * weights)
         return params, opt_state, loss, correct
 
     return tx, step
@@ -196,8 +218,9 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
         total_loss, total_correct = 0.0, 0
         for s in range(0, len(val), 32):
             anns = val[s:s + 32]
-            ids, mask, tgt = _batch_arrays(anns, interned, classes)
-            logits = np.asarray(eval_step(params, ids, mask))
+            ids, mask, tgt, _, nb = _padded_batch(anns, interned, classes)
+            logits = np.asarray(eval_step(params, ids, mask))[:nb]
+            tgt = tgt[:nb]
             total_correct += int((logits.argmax(-1) == tgt).sum())
             shifted = logits - logits.max(-1, keepdims=True)
             logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
@@ -209,10 +232,10 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
         epoch_loss, epoch_correct = 0.0, 0
         for s in range(0, len(order), batch_size):
             anns = [train[i] for i in order[s:s + batch_size]]
-            ids, mask, tgt = _batch_arrays(anns, interned, classes)
+            ids, mask, tgt, w, _ = _padded_batch(anns, interned, classes)
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, correct = step(
-                params, opt_state, ids, mask, tgt, sub)
+                params, opt_state, ids, mask, tgt, w, sub)
             epoch_loss += float(loss)
             epoch_correct += int(correct)
         epoch_loss /= len(train)
@@ -281,8 +304,9 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
     try:
         for s in range(0, len(test), batch_size):
             anns = test[s:s + batch_size]
-            ids, mask, tgt = _batch_arrays(anns, interned, classes)
-            logits = np.asarray(eval_step(params, ids, mask))
+            pids, pmask, tgt, _, nb = _padded_batch(anns, interned, classes)
+            logits = np.asarray(eval_step(params, pids, pmask))[:nb]
+            ids, mask, tgt = pids[:nb], pmask[:nb], tgt[:nb]
             cam_t = np.asarray(explainer.explain(
                 ids, mask, indices=tgt, method=call_name))
             cam_t = np.clip(cam_t, 0, None)
