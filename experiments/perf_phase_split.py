@@ -63,3 +63,6 @@ try:
     print("peak temp bytes:", getattr(ma, "temp_size_in_bytes", ma))
 except Exception as e:
     print("memory_analysis failed:", e)
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

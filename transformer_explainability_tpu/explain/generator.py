@@ -58,7 +58,9 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 0, is_ablation: bool = False,
                    alpha: float = 1.0, variant: str = "ours",
-                   relprop_precision: Optional[str] = None) -> Array:
+                   relprop_precision: Optional[str] = None,
+                   attn_precision: Optional[str] = None,
+                   unroll: Optional[int] = None) -> Array:
     """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
 
     Output shapes (matching the reference per method):
@@ -73,7 +75,19 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         is_ablation and method in ("last_layer", "second_layer"))
     needs_relprop = METHODS[method][1]
 
-    logits, res = vit_mod.forward_collect(params, img, cfg)
+    # the headline method folds the (grad ⊙ cam)⁺ head-mean into the reverse
+    # scan itself (24x less scan-output HBM traffic; the program is
+    # bandwidth-bound — see PERF.md profile)
+    fuse_gc = method in ("transformer_attribution", "grad")
+    # full unroll by default: the block count is small and static (12/24);
+    # unrolling removes the scan's per-step buffer rotations + parameter
+    # dynamic-slices and lets XLA overlap across blocks (+7-18% measured,
+    # PERF.md)
+    if unroll is None:
+        unroll = cfg.depth
+    logits, res = vit_mod.forward_collect(params, img, cfg,
+                                          attn_precision=attn_precision,
+                                          unroll=unroll)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single
@@ -81,14 +95,16 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         R_tokens, attn_cams, attn_grads = vit_mod.reverse_pass(
             params, res, onehot, cfg, alpha=alpha, variant=variant,
             need_grads=needs_grads, need_relprop=needs_relprop,
-            relprop_precision=relprop_precision)
+            relprop_precision=relprop_precision,
+            attn_precision=attn_precision, fuse_grad_cam=fuse_gc,
+            unroll=unroll)
     else:
         R_tokens = attn_cams = attn_grads = None
 
     if method in ("transformer_attribution", "grad"):
-        # per block: (grad ⊙ cam)⁺ head-mean, then rollout (ViT_LRP.py:357-369)
-        # — fused Pallas chain on TPU, jnp fallback elsewhere
-        joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer)
+        # per block: (grad ⊙ cam)⁺ head-mean (fused above), then the rollout
+        # chain (ViT_LRP.py:357-369) — Pallas on TPU, jnp fallback elsewhere
+        joint = pk.rollout_from_grad_cam(attn_cams, None, start_layer)
         return joint[0, cfg.num_prefix_tokens:]
 
     if method == "rollout":
@@ -135,23 +151,26 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     start_layer: int = 0, is_ablation: bool = False,
                     alpha: float = 1.0, variant: str = "ours",
                     matmul_precision: str = "float32",
-                    relprop_precision: Optional[str] = None):
+                    relprop_precision: Optional[str] = None,
+                    attn_precision: Optional[str] = None):
     """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
 
     images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
     ``matmul_precision``: "float32" for reference parity (fp32 accumulation on
     the MXU), "bfloat16"/"tensorfloat32" for throughput.
     ``relprop_precision``: optional override for the LRP rules only — they
-    tolerate 1-pass bf16 while the forward/backward needs >=tf32 (PERF.md),
-    so (matmul="tensorfloat32", relprop="bfloat16") is the fast near-parity
-    production point.
+    tolerate 1-pass bf16 while the forward/backward needs >=tf32 (PERF.md).
+    ``attn_precision``: optional override for the attention-softmax einsums
+    (QK^T/AV and their backward) — the precision-sensitive island; pinning
+    it to "float32" lets the big Linear matmuls drop to bfloat16 without
+    corrupting the attention-gradient chain (PERF.md precision ladder).
     """
 
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, img, index, cfg, method,
                                   start_layer, is_ablation, alpha, variant,
-                                  relprop_precision)
+                                  relprop_precision, attn_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
 

@@ -174,6 +174,9 @@ def _merge_heads(x: Array) -> Array:
 class BlockActs(NamedTuple):
     """Recomputed per-block activations, in forward order."""
     xn1: Array        # norm1 output (n, D)
+    qkv: Array        # raw qkv matmul output incl. bias (n, 3D) — the LRP
+                      # qkv rule consumes this layout directly; keeping it
+                      # avoids re-stacking q/k/v (a (n,3D) transpose pass)
     q: Array          # (h, n, hd)
     k: Array
     v: Array
@@ -187,19 +190,27 @@ class BlockActs(NamedTuple):
 
 
 def _block_acts(x_in: Array, bp: Params, cfg: ViTConfig,
-                tap: Optional[Array] = None) -> Tuple[Array, Array, BlockActs]:
-    """Run one block from its input; returns (x_mid, x_out, acts)."""
+                tap: Optional[Array] = None,
+                attn_precision: Optional[str] = None
+                ) -> Tuple[Array, Array, BlockActs]:
+    """Run one block from its input; returns (x_mid, x_out, acts).
+
+    ``attn_precision`` overrides the MXU pass precision of the attention
+    einsums only (QK^T and AV) — the softmax chain is the precision-sensitive
+    island (PERF.md), so it can run at float32 while the big Linears run at
+    bfloat16."""
+    ap = attn_precision
     xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
     qkv = xn1 @ bp["qkv"]["kernel"]
     if "bias" in bp["qkv"]:
         qkv = qkv + bp["qkv"]["bias"]
     q, k, v = _split_qkv(qkv, cfg)
-    dots = jnp.einsum("hid,hjd->hij", q, k)
+    dots = jnp.einsum("hid,hjd->hij", q, k, precision=ap)
     scale = cfg.head_dim ** -0.5
     attn = jax.nn.softmax(dots * scale, axis=-1)
     if tap is not None:
         attn = attn + tap
-    out = jnp.einsum("hij,hjd->hid", attn, v)
+    out = jnp.einsum("hij,hjd->hid", attn, v, precision=ap)
     out_merged = _merge_heads(out)
     attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
     x_mid = x_in + attn_out
@@ -209,8 +220,8 @@ def _block_acts(x_in: Array, bp: Params, cfg: ViTConfig,
     hg = jax.nn.gelu(h1, approximate=False)
     mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
     x_out = x_mid + mlp_out
-    return x_mid, x_out, BlockActs(xn1, q, k, v, attn, out_merged, attn_out,
-                                   xn2, h1, hg, mlp_out)
+    return x_mid, x_out, BlockActs(xn1, qkv, q, k, v, attn, out_merged,
+                                   attn_out, xn2, h1, hg, mlp_out)
 
 
 class Residuals(NamedTuple):
@@ -239,7 +250,9 @@ def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
 
 
 def forward_collect(params: Params, img: Array, cfg: ViTConfig,
-                    taps: Optional[Array] = None) -> Tuple[Array, Residuals]:
+                    taps: Optional[Array] = None,
+                    attn_precision: Optional[str] = None,
+                    unroll: int = 1) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
     ``taps``: optional (L, h, n, n) zeros added to each layer's post-softmax
@@ -255,13 +268,13 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
         # tensors per block alive — the HBM trade that unlocks large
         # explanation batches (SURVEY §7 'remat trade').
         bp, tap = inp
-        x_mid, x_out, acts = _block_acts(x, bp, cfg, tap)
+        x_mid, x_out, acts = _block_acts(x, bp, cfg, tap, attn_precision)
         return x_out, (x, x_mid, acts.attn)
 
     tap_seq = taps if taps is not None else jnp.zeros(
         (cfg.depth, cfg.num_heads, cfg.num_tokens, cfg.num_tokens), x0.dtype)
     x_final, (x_ins, x_mids, attns) = jax.lax.scan(
-        step, x0, (params["blocks"], tap_seq))
+        step, x0, (params["blocks"], tap_seq), unroll=unroll)
 
     xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
     cls = xn[0]
@@ -319,9 +332,7 @@ def _block_relprop_impl(R: Array, x_in: Array, x_mid: Array, bp: Params,
     fc2_pre = acts.mlp_out - bp["fc2"]["bias"]
     fc1_pre = acts.h1 - bp["fc1"]["bias"]
     proj_pre = acts.attn_out - bp["proj"]["bias"]
-    qkv_pre = jnp.stack([acts.q, acts.k, acts.v], axis=0)
-    qkv_pre = qkv_pre.transpose(2, 0, 1, 3).reshape(
-        cfg.num_tokens, 3 * cfg.embed_dim)
+    qkv_pre = acts.qkv                       # (n, 3D), the rule's layout
     if "bias" in bp["qkv"]:
         qkv_pre = qkv_pre - bp["qkv"]["bias"]
 
@@ -333,8 +344,9 @@ def _block_relprop_impl(R: Array, x_in: Array, x_mid: Array, bp: Params,
                              variant, y_pre=fc1_pre)
     R = rp.clone_relprop(x_mid, [R1, R2])
 
-    # add1 -> attention -> norm1(id) -> clone1
-    R1, R2 = rp.add_relprop(x_in, acts.attn_out, R, variant)
+    # add1 -> attention -> norm1(id) -> clone1 (x_mid IS x_in + attn_out,
+    # stored by the forward — pass it as Z to skip the re-add)
+    R1, R2 = rp.add_relprop(x_in, acts.attn_out, R, variant, Z=x_mid)
     R2 = rp.linear_alphabeta(acts.out_merged, bp["proj"]["kernel"], R2,
                              alpha, variant, y_pre=proj_pre)
     cam = R2.reshape(cfg.num_tokens, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
@@ -358,24 +370,27 @@ def _block_relprop_impl(R: Array, x_in: Array, x_mid: Array, bp: Params,
 
 
 def _block_acts_from_anchors(x_in: Array, x_mid: Array, bp: Params,
-                             cfg: ViTConfig) -> BlockActs:
+                             cfg: ViTConfig,
+                             attn_precision: Optional[str] = None
+                             ) -> BlockActs:
     """Recompute all block activations from the two stored anchors; each value
-    is the same op on the same inputs as the forward, hence bitwise equal."""
+    is the same op on the same inputs as the forward, hence bitwise equal
+    (pass the same ``attn_precision`` as the forward)."""
     xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
     qkv = xn1 @ bp["qkv"]["kernel"]
     if "bias" in bp["qkv"]:
         qkv = qkv + bp["qkv"]["bias"]
     q, k, v = _split_qkv(qkv, cfg)
-    dots = jnp.einsum("hid,hjd->hij", q, k)
+    dots = jnp.einsum("hid,hjd->hij", q, k, precision=attn_precision)
     attn = jax.nn.softmax(dots * (cfg.head_dim ** -0.5), axis=-1)
-    out = jnp.einsum("hij,hjd->hid", attn, v)
+    out = jnp.einsum("hij,hjd->hid", attn, v, precision=attn_precision)
     out_merged = _merge_heads(out)
     attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
     xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
     h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
     hg = jax.nn.gelu(h1, approximate=False)
     mlp_out = hg @ bp["fc2"]["kernel"] + bp["fc2"]["bias"]
-    return BlockActs(xn1, q, k, v, attn, out_merged, attn_out,
+    return BlockActs(xn1, qkv, q, k, v, attn, out_merged, attn_out,
                      xn2, h1, hg, mlp_out)
 
 
@@ -411,12 +426,19 @@ def _gelu_grad(x: Array) -> Array:
 
 
 def block_backward(g_out: Array, x_in: Array, x_mid: Array,
-                   acts: BlockActs, bp: Params, cfg: ViTConfig
+                   acts: BlockActs, bp: Params, cfg: ViTConfig,
+                   attn_precision: Optional[str] = None
                    ) -> Tuple[Array, Array]:
     """Hand-written VJP of one block given its saved activations: returns
     (g_in, g_attn) where g_attn is the cotangent of the post-softmax
     attention (the reference's ``register_hook`` gradient, ViT_LRP.py:145).
-    No forward recompute — all linearization points come from ``acts``."""
+    No forward recompute — all linearization points come from ``acts``.
+
+    ``attn_precision`` pins the attention-chain einsums (the hook gradient,
+    the softmax backward and its q/k/v cotangents) to a higher MXU precision
+    than the ambient one — the saturated-softmax gradient chain is where
+    rounding is amplified (PERF.md precision ladder)."""
+    ap = attn_precision
     # MLP branch: x_out = x_mid + fc2(gelu(fc1(norm2(x_mid))))
     g_hg = g_out @ bp["fc2"]["kernel"].T                    # (n, M)
     g_h1 = g_hg * _gelu_grad(acts.h1)
@@ -428,13 +450,14 @@ def block_backward(g_out: Array, x_in: Array, x_mid: Array,
     g_om = g_mid @ bp["proj"]["kernel"].T                   # (n, D)
     n = g_om.shape[0]
     g_o = g_om.reshape(n, cfg.num_heads, cfg.head_dim).transpose(1, 0, 2)
-    g_attn = jnp.einsum("hid,hjd->hij", g_o, acts.v)        # hook gradient
-    g_v = jnp.einsum("hij,hid->hjd", acts.attn, g_o)
+    g_attn = jnp.einsum("hid,hjd->hij", g_o, acts.v,
+                        precision=ap)                       # hook gradient
+    g_v = jnp.einsum("hij,hid->hjd", acts.attn, g_o, precision=ap)
     # softmax (attn = softmax(dots * scale) + tap; d tap == d attn)
     inner = (g_attn * acts.attn).sum(axis=-1, keepdims=True)
     g_dots = acts.attn * (g_attn - inner) * (cfg.head_dim ** -0.5)
-    g_q = jnp.einsum("hij,hjd->hid", g_dots, acts.k)
-    g_k = jnp.einsum("hij,hid->hjd", g_dots, acts.q)
+    g_q = jnp.einsum("hij,hjd->hid", g_dots, acts.k, precision=ap)
+    g_k = jnp.einsum("hij,hid->hjd", g_dots, acts.q, precision=ap)
     g_qkv = jnp.stack([g_q, g_k, g_v], axis=0)              # (3, h, n, hd)
     g_qkv = g_qkv.transpose(2, 0, 1, 3).reshape(n, 3 * cfg.embed_dim)
     g_xn1 = g_qkv @ bp["qkv"]["kernel"].T
@@ -446,7 +469,10 @@ def block_backward(g_out: Array, x_in: Array, x_mid: Array,
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: ViTConfig, alpha: float = 1.0, variant: str = "ours",
                  need_grads: bool = True, need_relprop: bool = True,
-                 relprop_precision: Optional[str] = None
+                 relprop_precision: Optional[str] = None,
+                 attn_precision: Optional[str] = None,
+                 fuse_grad_cam: bool = False,
+                 unroll: int = 1
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """ONE reverse scan computing the class gradient w.r.t. every post-softmax
     attention map AND the LRP relevance chain, sharing a single recompute of
@@ -461,6 +487,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
     Returns (R_tokens, attn_cams, attn_grads); entries are None when the
     corresponding ``need_*`` flag is False (and XLA never computes them).
+
+    ``fuse_grad_cam=True`` (requires both need flags): the per-block
+    ``(grad ⊙ cam)⁺`` head-mean (ViT_LRP.py:358-366) is folded INTO the scan
+    body, so the scan stacks one (n, n) map per block instead of two
+    (h, n, n) tensors — 24x less scan-output HBM traffic (the profile shows
+    the explain program is bandwidth/vector-bound, not MXU-bound). Returns
+    (R_tokens, gc_maps (L, n, n), None).
     """
     # gradient seed through the tail: x_final -> LN -> CLS -> head -> score
     g_final = None
@@ -497,12 +530,16 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                     onehot, alpha, variant)
             R = rp.index_select_relprop(res.xn, 0, jnp.array(0), R[None, :])
 
+    if fuse_grad_cam:
+        assert need_grads and need_relprop, "fuse_grad_cam needs both passes"
+
     def step(carry, xs):
         g_out, Rc = carry
         x_in, x_mid, bp = xs
-        acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
+        acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg, attn_precision)
         if need_grads:
-            g_in, g_tap = block_backward(g_out, x_in, x_mid, acts, bp, cfg)
+            g_in, g_tap = block_backward(g_out, x_in, x_mid, acts, bp, cfg,
+                                         attn_precision)
         else:
             g_in, g_tap = g_out, None
         if need_relprop:
@@ -511,12 +548,20 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                 relprop_precision=relprop_precision)
         else:
             R_in, attn_cam = Rc, None
+        if fuse_grad_cam:
+            gc = jnp.clip(g_tap * attn_cam, min=0).mean(axis=0)   # (n, n)
+            return (g_in, R_in), (gc,)
         return (g_in, R_in), (attn_cam, g_tap)
 
+    carry0 = (g_final if need_grads else jnp.zeros(()),
+              R if need_relprop else jnp.zeros(()))
+    xs = (res.x_ins, res.x_mids, params["blocks"])
+    if fuse_grad_cam:
+        (g0, R_tokens), (gc_maps,) = jax.lax.scan(step, carry0, xs,
+                                                  reverse=True, unroll=unroll)
+        return R_tokens, gc_maps, None
     (g0, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
-        step, (g_final if need_grads else jnp.zeros(()), R if need_relprop
-               else jnp.zeros(())),
-        (res.x_ins, res.x_mids, params["blocks"]), reverse=True)
+        step, carry0, xs, reverse=True, unroll=unroll)
     return (R_tokens if need_relprop else None,
             attn_cams if need_relprop else None,
             attn_grads if need_grads else None)

@@ -56,13 +56,25 @@ def rollout_from_grad_cam(cams: jax.Array, grads: Optional[jax.Array] = None,
     cam-only rollout). Matches
     ``clip(g*c,0).mean(1)`` + :func:`...ops.relprop.compute_rollout` exactly
     (fp32).
+
+    cams may also be pre-reduced (L, n, n) — already ``(grad⊙cam)⁺``
+    head-meaned inside the reverse scan (vit.reverse_pass fuse_grad_cam);
+    then only the +I chain runs here (grads must be None).
     """
-    L, h, n, _ = cams.shape
+    prereduced = cams.ndim == 3
+    if prereduced:
+        assert grads is None
+        L, n, _ = cams.shape
+    else:
+        L, h, n, _ = cams.shape
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        m = cams if grads is None else grads * cams
-        m = jnp.clip(m, min=0).mean(axis=1)
+        if prereduced:
+            m = cams
+        else:
+            m = cams if grads is None else grads * cams
+            m = jnp.clip(m, min=0).mean(axis=1)
         return rp.compute_rollout(m, start_layer, row_normalize=row_normalize)
 
     import jax.experimental.pallas as pl
@@ -70,8 +82,11 @@ def rollout_from_grad_cam(cams: jax.Array, grads: Optional[jax.Array] = None,
 
     # elementwise prep in XLA (it fuses into the producing ops): weight,
     # relu, head-mean, +I, optional row normalization, zero-pad to lanes
-    m = cams if grads is None else grads * cams
-    m = jnp.clip(m[start_layer:].astype(jnp.float32), min=0).mean(axis=1)
+    if prereduced:
+        m = cams[start_layer:].astype(jnp.float32)
+    else:
+        m = cams if grads is None else grads * cams
+        m = jnp.clip(m[start_layer:].astype(jnp.float32), min=0).mean(axis=1)
     m = m + jnp.eye(n, dtype=jnp.float32)
     if row_normalize:
         m = m / m.sum(axis=-1, keepdims=True)

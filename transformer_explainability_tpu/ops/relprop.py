@@ -45,13 +45,16 @@ Array = jax.Array
 def safe_divide(a: Array, b: Array) -> Array:
     """Stabilized ``a / b``; reference ``modules/layers_ours.py:10-13``.
 
-    Denominator is ``clamp(b, min=eps) + clamp(b, max=eps)`` (== ``b + eps``
-    for every b), nudged by +eps where it is exactly zero; the result is
-    masked to 0 wherever ``b == 0``.
+    The reference's ``clamp(b, min=eps) + clamp(b, max=eps)`` equals
+    ``b + eps`` for every b (one clamp saturates, the other passes b
+    through), nudged to +eps where the sum is exactly zero (b == -eps); the
+    result is masked to 0 wherever ``b == 0``. Written with the algebraic
+    form + selects: 3 fewer vector passes over the operand (the explain
+    program is vector/bandwidth-bound, PERF.md), bitwise-equal denominators.
     """
-    den = jnp.clip(b, min=EPS) + jnp.clip(b, max=EPS)
-    den = den + (den == 0).astype(den.dtype) * EPS
-    return a / den * (b != 0).astype(b.dtype)
+    den = b + jnp.asarray(EPS, b.dtype)
+    den = jnp.where(den == 0, jnp.asarray(EPS, b.dtype), den)
+    return jnp.where(b == 0, jnp.zeros((), a.dtype), a / den)
 
 
 # ---------------------------------------------------------------------------
@@ -75,8 +78,8 @@ def zrule(f: Callable, inputs: Sequence[Array], R: Array):
 # Add — residual-stream rule.
 # ---------------------------------------------------------------------------
 
-def add_relprop(a: Array, b: Array, R: Array, variant: str = "ours"
-                ) -> Tuple[Array, Array]:
+def add_relprop(a: Array, b: Array, R: Array, variant: str = "ours",
+                Z: Optional[Array] = None) -> Tuple[Array, Array]:
     """Relevance split across a two-way add.
 
     variant="ours": z-rule then renormalisation so each branch carries a share
@@ -84,8 +87,12 @@ def add_relprop(a: Array, b: Array, R: Array, variant: str = "ours"
     ``modules/layers_ours.py:97-120``) — critical for conservation on the
     residual stream. variant="lrp": plain z-rule (``modules/layers_lrp.py:
     98-100``).
+
+    ``Z`` may be passed when the caller already holds ``a + b`` (the residual
+    stream stores every block boundary), skipping one vector pass.
     """
-    Z = a + b
+    if Z is None:
+        Z = a + b
     S = safe_divide(R, Z)
     Ca = a * S
     Cb = b * S
@@ -118,10 +125,14 @@ def clone_relprop(x: Array, Rs: Sequence[Array]) -> Array:
     """Merge relevances of a fanned-out tensor: X * sum_i safe_divide(R_i, X).
 
     Reference ``modules/layers_ours.py:151-169`` (the VJP of an N-way fan-out
-    is the sum of the branch cotangents).
+    is the sum of the branch cotangents). ``safe_divide`` is linear in its
+    numerator and every branch divides by the same X, so the branch sum moves
+    inside the divide — one divide pass instead of N (1-ulp-equivalent).
     """
-    S = sum(safe_divide(r, x) for r in Rs)
-    return x * S
+    total = Rs[0]
+    for r in Rs[1:]:
+        total = total + r
+    return x * safe_divide(total, x)
 
 
 def cat_relprop(xs: Sequence[Array], axis: int, R: Array) -> Tuple[Array, ...]:
