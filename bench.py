@@ -1,6 +1,9 @@
 """Benchmark: ViT-B/16 class-specific explanations/sec/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"parity_value", "parity_vs_baseline"}. ``value`` is the production
+mixed-precision mode; ``parity_value`` is the exact-parity float32 mode (the
+number the BASELINE "per-pixel fp32 tolerance" bar actually constrains).
 Baseline target (BASELINE.md): >=500 transformer_attribution explanations/sec
 per chip on TPU v5e; vs_baseline is value/500.
 
@@ -16,33 +19,17 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _bench_mode(cfg, params, rng, precision, relprop_precision,
+                attn_precision, batch_candidates):
+    """Best (batch, expl/s) over the candidate batch sizes for one
+    precision mode."""
     import jax.numpy as jnp
-    from transformer_explainability_tpu.models.vit import (
-        VIT_BASE_16_224, init_params)
     from transformer_explainability_tpu.explain.generator import make_explain_fn
-
-    # Precision ladder (batch 64, this chip; see PERF.md):
-    #   float32 (6-pass)                    102/s  exact parity
-    #   tensorfloat32 (3-pass)              157/s  corr vs f32 >= 0.998
-    #   tf32 fwd/bwd + bf16 LRP rules       177/s  corr vs f32 >= 0.982
-    #   bfloat16 (1-pass)                   251/s  corr ~0.84 on random wts
-    # Default: the mixed near-parity production point.
-    precision = os.environ.get("BENCH_PRECISION", "tensorfloat32")
-    relprop_precision = os.environ.get("BENCH_RELPROP_PRECISION", "bfloat16")
-    if relprop_precision in ("", "none"):
-        relprop_precision = None
-    cfg = VIT_BASE_16_224
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.RandomState(0)
 
     fn = make_explain_fn(cfg, method="transformer_attribution",
                          matmul_precision=precision,
-                         relprop_precision=relprop_precision)
-
-    batch_candidates = [int(b) for b in
-                        os.environ.get("BENCH_BATCHES", "64,32").split(",")]
+                         relprop_precision=relprop_precision,
+                         attn_precision=attn_precision)
     best = None
     for B in batch_candidates:
         imgs = jnp.asarray(rng.randn(B, 3, 224, 224).astype(np.float32))
@@ -61,24 +48,64 @@ def main():
                 np.asarray(out)
             dt = time.perf_counter() - t0
             rate = B * n_iter / dt
-            print(f"# batch={B}: {rate:.1f} expl/s "
-                  f"({dt / n_iter * 1e3 / B:.2f} ms/expl)", file=sys.stderr)
+            print(f"# [{precision}/{relprop_precision}] batch={B}: "
+                  f"{rate:.1f} expl/s ({dt / n_iter * 1e3 / B:.2f} ms/expl)",
+                  file=sys.stderr)
             if best is None or rate > best[1]:
                 best = (B, rate)
         except Exception as e:  # OOM at large batch: fall through to smaller
             print(f"# batch={B} failed: {type(e).__name__}", file=sys.stderr)
             continue
+    return best
 
+
+def main():
+    import jax
+    from transformer_explainability_tpu.models.vit import (
+        VIT_BASE_16_224, init_params)
+
+    # Precision ladder (batch 64, this chip; see PERF.md). Production default:
+    # the mixed near-parity point (tf32 fwd/bwd + bf16 LRP rules). The exact-
+    # parity float32 mode is ALSO measured and reported as parity_value.
+    precision = os.environ.get("BENCH_PRECISION", "tensorfloat32")
+    relprop_precision = os.environ.get("BENCH_RELPROP_PRECISION", "bfloat16")
+    if relprop_precision in ("", "none"):
+        relprop_precision = None
+    attn_precision = os.environ.get("BENCH_ATTN_PRECISION", "")
+    if attn_precision in ("", "none"):
+        attn_precision = None
+    cfg = VIT_BASE_16_224
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+
+    batch_candidates = [int(b) for b in
+                        os.environ.get("BENCH_BATCHES", "64,32").split(",")]
+
+    best = _bench_mode(cfg, params, rng, precision, relprop_precision,
+                       attn_precision, batch_candidates)
     if best is None:
         raise SystemExit("all batch sizes failed")
-
     B, rate = best
-    print(json.dumps({
+
+    # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1)
+    parity = None
+    if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
+        if (precision, relprop_precision) == ("float32", None):
+            parity = best
+        else:
+            parity = _bench_mode(cfg, params, rng, "float32", None, None,
+                                 batch_candidates)
+
+    out = {
         "metric": "vit_b16_transformer_attribution_explanations_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "explanations/s",
         "vs_baseline": round(rate / 500.0, 4),
-    }))
+    }
+    if parity is not None:
+        out["parity_value"] = round(parity[1], 2)
+        out["parity_vs_baseline"] = round(parity[1] / 500.0, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -172,3 +172,37 @@ def test_confusion_matrix_class_scores_input():
     cm3 = ConfusionMatrix(3)
     cm3.add(scores, onehot)
     np.testing.assert_array_equal(cm3.value(), cm2.value())
+
+
+def test_seg_eval_mesh_matches_unsharded(tiny_params, tmp_path):
+    """--mesh harness path: identical metrics sharded vs unsharded (the
+    sharded program is pure SPMD scale-out of the same per-image math)."""
+    from transformer_explainability_tpu.parallel.mesh import make_mesh
+    ds = _SynthSegDataset(n=6, size=TINY.img_size)
+    kw = dict(method="transformer_attribution", batch_size=4, progress=False)
+    want = seg_mod.run_seg_eval(ds, tiny_params, TINY, **kw)
+    mesh = make_mesh(n_data=4, n_model=1)
+    got = seg_mod.run_seg_eval(ds, tiny_params, TINY, mesh=mesh, **kw)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+
+
+def test_visualize_mesh_matches_unsharded(tiny_params, tmp_path):
+    pytest.importorskip("h5py")
+    from transformer_explainability_tpu.parallel.mesh import make_mesh
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(4, 3, TINY.img_size, TINY.img_size).astype(np.float32)
+    tgts = rng.randint(0, TINY.num_classes, 4)
+
+    out_a = str(tmp_path / "a.hdf5")
+    out_b = str(tmp_path / "b.hdf5")
+    vis_mod.compute_saliency_and_save(
+        iter([(imgs, tgts)]), tiny_params, out_a, TINY, vis_class="target")
+    vis_mod.compute_saliency_and_save(
+        iter([(imgs, tgts)]), tiny_params, out_b, TINY, vis_class="target",
+        mesh=make_mesh(n_data=4, n_model=1))
+    da, db = ImagenetResults(out_a), ImagenetResults(out_b)
+    _, va, _ = da[0:4]
+    _, vb, _ = db[0:4]
+    np.testing.assert_allclose(vb, va, rtol=1e-5, atol=1e-6)

@@ -61,16 +61,27 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
                  is_ablation: bool = False, limit: Optional[int] = None,
                  save_dir: Optional[str] = None,
                  explain_fn=None, progress: bool = True,
-                 save_images: int = 0) -> Dict[str, float]:
+                 save_images: int = 0, mesh=None) -> Dict[str, float]:
     """Evaluate a heatmap method against the 4276-image ImageNet-seg GT.
 
     ``dataset`` yields/indexes (normalized image (3,224,224), label (224,224));
-    ``explain_fn`` may override the compiled program (e.g. mesh-sharded).
+    ``explain_fn`` may override the compiled program; ``mesh`` (a
+    ``jax.sharding.Mesh`` with a ``data`` axis) shards the explain batch over
+    devices instead — SPMD scale-out, identical metrics (tested on the
+    virtual CPU mesh).
     Returns {pixAcc, mIoU, mAP, mF1} exactly as the reference prints them.
     """
     from transformer_explainability_tpu.data.imagenet_seg import batches
 
     expl_method, variant, start_layer = SEG_METHODS[method]
+    if explain_fn is None and mesh is not None:
+        from transformer_explainability_tpu.parallel.mesh import (
+            make_sharded_explain_fn)
+        assert batch_size % mesh.shape["data"] == 0, \
+            (batch_size, dict(mesh.shape))
+        explain_fn = make_sharded_explain_fn(
+            cfg, mesh, method=expl_method, start_layer=start_layer,
+            is_ablation=is_ablation, variant=variant)
     if explain_fn is None:
         explain_fn = make_explain_fn(cfg, method=expl_method,
                                      start_layer=start_layer,
@@ -202,6 +213,9 @@ def main(argv=None):
     p.add_argument("--save-dir", default="run/imagenet_seg")
     p.add_argument("--save-images", type=int, default=0,
                    help="save the first N heatmap renderings")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the explain batch over N devices (data axis); "
+                        "0 = single-device")
     args = p.parse_args(argv)
 
     cfg = VIT_BASE_16_224
@@ -212,11 +226,16 @@ def main(argv=None):
         print("WARNING: no checkpoint given — using random weights")
         params = init_params(_jax.random.PRNGKey(0), cfg)
 
+    mesh = None
+    if args.mesh:
+        from transformer_explainability_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.mesh, n_model=1)
+
     ds = ImagenetSegmentation(args.imagenet_seg_path)
     results = run_seg_eval(ds, params, cfg, args.method, args.batch_size,
                            args.thr, args.is_ablation, args.limit,
                            os.path.join(args.save_dir, args.method),
-                           save_images=args.save_images)
+                           save_images=args.save_images, mesh=mesh)
     print("Mean IoU over 2 classes: %.4f" % results["mIoU"])
     print("Pixel-wise Accuracy: %2.2f%%" % (results["pixAcc"] * 100))
     print("Mean AP over 2 classes: %.4f" % results["mAP"])

@@ -44,14 +44,22 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                               vis_class: str = "top",
                               class_id: int = 0,
                               is_ablation: bool = False,
-                              explain_fn=None) -> int:
+                              explain_fn=None, mesh=None) -> int:
     """data_iter yields (images (B,3,H,W) in [0,1] UNnormalized, targets (B,)).
 
     vis_class: 'top' (predicted class), 'target' (ground truth), or 'index'
     (fixed ``class_id``) — reference ``--vis-class`` (:66-68,136-140).
+    ``mesh`` (a Mesh with a ``data`` axis) shards each explain batch over
+    devices (batch sizes must divide by the data-axis size).
     Returns the number of examples written.
     """
     expl_method, variant, start_layer = VIS_METHODS[method]
+    if explain_fn is None and mesh is not None:
+        from transformer_explainability_tpu.parallel.mesh import (
+            make_sharded_explain_fn)
+        explain_fn = make_sharded_explain_fn(
+            cfg, mesh, method=expl_method, start_layer=start_layer,
+            is_ablation=is_ablation, variant=variant)
     if explain_fn is None:
         explain_fn = make_explain_fn(cfg, method=expl_method,
                                      start_layer=start_layer,
@@ -128,6 +136,9 @@ def main(argv=None):
     p.add_argument("--is-ablation", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--out-dir", default="visualizations")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the explain batch over N devices (data axis); "
+                        "0 = single-device")
     args = p.parse_args(argv)
 
     cfg = VIT_BASE_16_224
@@ -146,12 +157,19 @@ def main(argv=None):
                                   ablation)
     os.makedirs(method_dir, exist_ok=True)
 
+    mesh = None
+    if args.mesh:
+        from transformer_explainability_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=args.mesh, n_model=1)
+        assert args.batch_size % args.mesh == 0, (args.batch_size, args.mesh)
+
     from transformer_explainability_tpu.data.folder import folder_batches
     it = folder_batches(args.imagenet_dir, args.batch_size, cfg.img_size,
                         limit=args.limit)
     n = compute_saliency_and_save(
         it, params, os.path.join(method_dir, "results.hdf5"), cfg,
-        args.method, args.vis_class, args.class_id, args.is_ablation)
+        args.method, args.vis_class, args.class_id, args.is_ablation,
+        mesh=mesh)
     print(f"wrote {n} examples to {method_dir}/results.hdf5")
 
 
