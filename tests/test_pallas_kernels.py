@@ -40,3 +40,200 @@ def test_rollout_kernel_fallback_matches():
     b = np.asarray(rollout_from_grad_cam(cams, grads, use_pallas=True,
                                          interpret=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention-core kernels (forward + reverse).
+# ---------------------------------------------------------------------------
+
+def _rand_qkv(rng, n, h, d):
+    return (jnp.asarray(rng.randn(n, 3 * h * d).astype(np.float32)),
+            jnp.asarray(rng.randn(n, h * d).astype(np.float32)),
+            jnp.asarray(rng.randn(n, h * d).astype(np.float32)))
+
+
+def test_attn_fwd_core_interpret_matches_jnp():
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        attn_fwd_core, _attn_fwd_core_jnp)
+    rng = np.random.RandomState(2)
+    n, h, d = 29, 3, 8                     # lane-unaligned on purpose
+    qkv, _, _ = _rand_qkv(rng, n, h, d)
+    want = np.asarray(_attn_fwd_core_jnp(qkv, h, d, d ** -0.5))
+    got = np.asarray(attn_fwd_core(qkv, h, d, d ** -0.5,
+                                   use_pallas=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_attn_rev_core_interpret_matches_jnp():
+    """f64 comparison: the safe-divide chains amplify 1-ulp softmax
+    differences between the interpret-mode kernel and the einsum path to
+    ~1e-3 in f32 (pure reassociation chaos); f64 pins semantics tightly."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        attn_rev_core, _attn_rev_core_jnp)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import jax.numpy as jnp64
+        rng = np.random.RandomState(3)
+        n, h, d = 29, 3, 8
+        qkv = jnp64.asarray(rng.randn(n, 3 * h * d))
+        g_o = jnp64.asarray(rng.randn(n, h * d))
+        cam_o = jnp64.asarray(rng.randn(n, h * d))
+        want = _attn_rev_core_jnp(qkv, g_o, cam_o, h, d, d ** -0.5)
+        got = attn_rev_core(qkv, g_o, cam_o, h, d, d ** -0.5,
+                            use_pallas=True, interpret=True)
+        for g, w, name in zip(got, want, ["g_qkv", "cam_qkv", "gc"]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_attn_rev_core_jnp_matches_rule_library():
+    """The fused core must equal composing the repo's own building blocks:
+    block_backward's attention fragment + einsum_av/qk z-rules + the
+    (grad ⊙ cam)⁺ head-mean (reference ViT_LRP.py:154-177, 358-366)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        _attn_rev_core_jnp, _split_heads)
+    rng = np.random.RandomState(4)
+    n, h, d = 17, 2, 4
+    qkv, g_o, cam_o = _rand_qkv(rng, n, h, d)
+    scale = d ** -0.5
+
+    q, k, v = _split_heads(qkv, h, d)
+    go = g_o.reshape(n, h, d).transpose(1, 0, 2)
+    co = cam_o.reshape(n, h, d).transpose(1, 0, 2)
+    dots = jnp.einsum("hid,hjd->hij", q, k)
+    attn = jax.nn.softmax(dots * scale, axis=-1)
+
+    # backward reference: vjp of (q,k,v) -> softmax(qk*scale) @ v at g_o,
+    # plus the post-softmax hook gradient
+    def f(q, k, v):
+        a = jax.nn.softmax(jnp.einsum("hid,hjd->hij", q, k) * scale, axis=-1)
+        return jnp.einsum("hij,hjd->hid", a, v)
+    _, vjp = jax.vjp(f, q, k, v)
+    g_q_ref, g_k_ref, g_v_ref = vjp(go)
+    g_attn_ref = jnp.einsum("hid,hjd->hij", go, v)
+
+    # relprop reference: the rule library with the /2 splits
+    cam1, cam_v = rp.einsum_av_relprop(attn, v, co)
+    cam1, cam_v = cam1 / 2, cam_v / 2
+    cam_q, cam_k = rp.einsum_qk_relprop(q, k, cam1)
+    cam_q, cam_k = cam_q / 2, cam_k / 2
+    gc_ref = jnp.clip(g_attn_ref * cam1, min=0).mean(axis=0)
+
+    def merge3(a, b, c):
+        x = jnp.stack([a, b, c], axis=0)
+        return x.transpose(2, 0, 1, 3).reshape(n, 3 * h * d)
+
+    g_qkv, cam_qkv, gc = _attn_rev_core_jnp(qkv, g_o, cam_o, h, d, scale)
+    np.testing.assert_allclose(np.asarray(g_qkv),
+                               np.asarray(merge3(g_q_ref, g_k_ref, g_v_ref)),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cam_qkv),
+                               np.asarray(merge3(cam_q, cam_k, cam_v)),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_explain_kernel_path_matches_reference_path():
+    """explain_single(use_attn_kernel=True) on CPU routes through the fused
+    step structure with the jnp fallback cores — must equal the einsum path
+    (same math, different op grouping)."""
+    import jax
+    from transformer_explainability_tpu.models.vit import ViTConfig, init_params
+    from transformer_explainability_tpu.explain.generator import explain_single
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=24, depth=3,
+                    num_heads=4, num_classes=10)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(3, 32, 32).astype(np.float32))
+    for sl in (0, 1):
+        a = np.asarray(jax.jit(
+            lambda p, x, i: explain_single(p, x, i, cfg, start_layer=sl,
+                                           use_attn_kernel=False))(
+            params, img, jnp.int32(3)))
+        b = np.asarray(jax.jit(
+            lambda p, x, i: explain_single(p, x, i, cfg, start_layer=sl,
+                                           use_attn_kernel=True))(
+            params, img, jnp.int32(3)))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
+
+
+def test_mlp_rev_core_interpret_matches_jnp():
+    """f64 (see the attn_rev_core test note: f32 divide-chain chaos)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        mlp_rev_core, _mlp_rev_core_jnp)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.RandomState(6)
+        n, D, M = 23, 16, 40
+        x_mid = jnp.asarray(rng.randn(n, D))
+        g_out = jnp.asarray(rng.randn(n, D))
+        R = jnp.asarray(rng.randn(n, D))
+        ln = {"scale": jnp.asarray(1 + 0.1 * rng.randn(D)),
+              "bias": jnp.asarray(0.1 * rng.randn(D))}
+        bp = {"fc1": {"kernel": jnp.asarray(rng.randn(D, M) * 0.2),
+                      "bias": jnp.asarray(0.1 * rng.randn(M))},
+              "fc2": {"kernel": jnp.asarray(rng.randn(M, D) * 0.2),
+                      "bias": jnp.asarray(0.1 * rng.randn(D))}}
+        want = _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, 1e-6, "ours", 1.0)
+        got = mlp_rev_core(x_mid, g_out, R, ln, bp, 1e-6,
+                           use_pallas=True, interpret=True)
+        for g, w, name in zip(got, want, ["g_mid", "R_mid"]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_mlp_rev_core_jnp_matches_fused_step():
+    """The jnp fallback must equal the exact ops of the non-kernel fused
+    step (block_backward MLP half + the rule library) on random f32 data."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        _mlp_rev_core_jnp)
+    from transformer_explainability_tpu.models import vit as vit_mod
+    cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=16,
+                            depth=1, num_heads=2, num_classes=4)
+    params = vit_mod.init_params(jax.random.PRNGKey(2), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+    rng = np.random.RandomState(7)
+    n = cfg.num_tokens
+    x_mid = jnp.asarray(rng.randn(n, cfg.embed_dim).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(n, cfg.embed_dim).astype(np.float32))
+    R = jnp.asarray(rng.randn(n, cfg.embed_dim).astype(np.float32))
+
+    g_mid, Rm = _mlp_rev_core_jnp(x_mid, g_out, R, bp["norm2"], bp,
+                                  cfg.block_ln_eps, "ours", 1.0)
+
+    # reference composition
+    acts = vit_mod._block_acts_from_anchors(x_mid * 0, x_mid, bp, cfg)
+    g_hg = g_out @ bp["fc2"]["kernel"].T
+    g_h1 = g_hg * vit_mod._gelu_grad(acts.h1)
+    g_xn2 = g_h1 @ bp["fc1"]["kernel"].T
+    want_g = g_out + vit_mod._layernorm_bwd(g_xn2, x_mid, bp["norm2"],
+                                            cfg.block_ln_eps)
+    R1, R2 = rp.add_relprop(x_mid, acts.mlp_out, R, "ours")
+    R2 = rp.linear_alphabeta(acts.hg, bp["fc2"]["kernel"], R2, 1.0, "ours",
+                             y_pre=acts.mlp_out - bp["fc2"]["bias"])
+    R2 = rp.linear_alphabeta(acts.xn2, bp["fc1"]["kernel"], R2, 1.0, "ours",
+                             y_pre=acts.h1 - bp["fc1"]["bias"])
+    want_R = rp.clone_relprop(x_mid, [R1, R2])
+    np.testing.assert_allclose(np.asarray(g_mid), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Rm), np.asarray(want_R),
+                               rtol=2e-3, atol=1e-6)
+
+
+def test_kernel_erf_matches_lax_erf():
+    """The in-kernel rational-polynomial erf (Mosaic has no erf lowering)
+    must track jax.lax.erf to a few f32 ulps over the relevant range."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import _kerf
+    x = jnp.asarray(np.linspace(-6, 6, 100001).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(_kerf(x)),
+                               np.asarray(jax.lax.erf(x)), atol=1e-6)

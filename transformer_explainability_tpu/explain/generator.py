@@ -60,7 +60,9 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    alpha: float = 1.0, variant: str = "ours",
                    relprop_precision: Optional[str] = None,
                    attn_precision: Optional[str] = None,
-                   unroll: Optional[int] = None) -> Array:
+                   unroll: Optional[int] = None,
+                   matmul_precision: str = "float32",
+                   use_attn_kernel: Optional[bool] = None) -> Array:
     """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
 
     Output shapes (matching the reference per method):
@@ -79,6 +81,12 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     # scan itself (24x less scan-output HBM traffic; the program is
     # bandwidth-bound — see PERF.md profile)
     fuse_gc = method in ("transformer_attribution", "grad")
+    # the headline method additionally routes the whole attention core
+    # through the fused Pallas kernels on TPU (VMEM-resident per-head chain;
+    # see ops.pallas_kernels.attn_rev_core)
+    if use_attn_kernel is None:
+        use_attn_kernel = fuse_gc and jax.default_backend() == "tpu"
+    use_attn_kernel = use_attn_kernel and fuse_gc
     # full unroll by default: the block count is small and static (12/24);
     # unrolling removes the scan's per-step buffer rotations + parameter
     # dynamic-slices and lets XLA overlap across blocks (+7-18% measured,
@@ -87,7 +95,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
         unroll = cfg.depth
     logits, res = vit_mod.forward_collect(params, img, cfg,
                                           attn_precision=attn_precision,
-                                          unroll=unroll)
+                                          unroll=unroll,
+                                          use_attn_kernel=use_attn_kernel)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single
@@ -97,7 +106,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
             need_grads=needs_grads, need_relprop=needs_relprop,
             relprop_precision=relprop_precision,
             attn_precision=attn_precision, fuse_grad_cam=fuse_gc,
-            unroll=unroll)
+            unroll=unroll, use_attn_kernel=use_attn_kernel,
+            matmul_precision=matmul_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -170,7 +180,8 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, img, index, cfg, method,
                                   start_layer, is_ablation, alpha, variant,
-                                  relprop_precision, attn_precision)
+                                  relprop_precision, attn_precision,
+                                  matmul_precision=matmul_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
 

@@ -33,9 +33,18 @@ import jax
 import jax.numpy as jnp
 
 from transformer_explainability_tpu.ops import relprop as rp
+from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 Array = jax.Array
 Params = Dict[str, Any]
+
+
+def _mxu_name(precision: Optional[str], default: str = "float32") -> str:
+    """Map a jax matmul-precision string to the Pallas kernels' per-dot MXU
+    mode: bf16 stays bf16; f32/tf32 run float32-HIGHEST (Mosaic has no tf32
+    pass)."""
+    p = precision if precision is not None else default
+    return "bfloat16" if p == "bfloat16" else "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,29 +261,60 @@ def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
 def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                     taps: Optional[Array] = None,
                     attn_precision: Optional[str] = None,
-                    unroll: int = 1) -> Tuple[Array, Residuals]:
+                    unroll: int = 1,
+                    use_attn_kernel: bool = False) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
     ``taps``: optional (L, h, n, n) zeros added to each layer's post-softmax
     attention; differentiating w.r.t. them yields exactly the gradients the
     reference collects with ``attn.register_hook`` (ViT_LRP.py:144-145).
+
+    ``use_attn_kernel``: route each block's attention through the fused
+    Pallas core (qkv stays in its raw (n, 3D) layout — no head split/merge
+    transposes reach HBM). Requires ``taps is None``; ``Residuals.attns``
+    comes back None (callers on this path never read it).
     """
     cat_x, x0 = embed(params, img, cfg)
 
-    @jax.checkpoint
-    def step(x, inp):
-        # remat: the attention-gradient backward (jax.grad over the taps)
-        # recomputes block internals instead of keeping ~10 (n,D)/(h,n,n)
-        # tensors per block alive — the HBM trade that unlocks large
-        # explanation batches (SURVEY §7 'remat trade').
-        bp, tap = inp
-        x_mid, x_out, acts = _block_acts(x, bp, cfg, tap, attn_precision)
-        return x_out, (x, x_mid, acts.attn)
+    if use_attn_kernel:
+        assert taps is None, "taps are not supported on the kernel path"
+        fwd_mxu = _mxu_name(attn_precision)
 
-    tap_seq = taps if taps is not None else jnp.zeros(
-        (cfg.depth, cfg.num_heads, cfg.num_tokens, cfg.num_tokens), x0.dtype)
-    x_final, (x_ins, x_mids, attns) = jax.lax.scan(
-        step, x0, (params["blocks"], tap_seq), unroll=unroll)
+        def step_lite(x, bp):
+            xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
+            qkv = xn1 @ bp["qkv"]["kernel"]
+            if "bias" in bp["qkv"]:
+                qkv = qkv + bp["qkv"]["bias"]
+            out_merged = pk.attn_fwd_core(
+                qkv, cfg.num_heads, cfg.head_dim, cfg.head_dim ** -0.5,
+                mxu=fwd_mxu)
+            attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
+            x_mid = x + attn_out
+            xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+            h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+            mlp_out = (jax.nn.gelu(h1, approximate=False)
+                       @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
+            return x_mid + mlp_out, (x, x_mid)
+
+        x_final, (x_ins, x_mids) = jax.lax.scan(
+            step_lite, x0, params["blocks"], unroll=unroll)
+        attns = None
+    else:
+        @jax.checkpoint
+        def step(x, inp):
+            # remat: the attention-gradient backward (jax.grad over the taps)
+            # recomputes block internals instead of keeping ~10 (n,D)/(h,n,n)
+            # tensors per block alive — the HBM trade that unlocks large
+            # explanation batches (SURVEY §7 'remat trade').
+            bp, tap = inp
+            x_mid, x_out, acts = _block_acts(x, bp, cfg, tap, attn_precision)
+            return x_out, (x, x_mid, acts.attn)
+
+        tap_seq = taps if taps is not None else jnp.zeros(
+            (cfg.depth, cfg.num_heads, cfg.num_tokens, cfg.num_tokens),
+            x0.dtype)
+        x_final, (x_ins, x_mids, attns) = jax.lax.scan(
+            step, x0, (params["blocks"], tap_seq), unroll=unroll)
 
     xn = _layernorm(x_final, params["norm"], cfg.final_ln_eps)
     cls = xn[0]
@@ -472,7 +512,9 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  relprop_precision: Optional[str] = None,
                  attn_precision: Optional[str] = None,
                  fuse_grad_cam: bool = False,
-                 unroll: int = 1
+                 unroll: int = 1,
+                 use_attn_kernel: bool = False,
+                 matmul_precision: str = "float32"
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """ONE reverse scan computing the class gradient w.r.t. every post-softmax
     attention map AND the LRP relevance chain, sharing a single recompute of
@@ -532,6 +574,112 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
     if fuse_grad_cam:
         assert need_grads and need_relprop, "fuse_grad_cam needs both passes"
+
+    if use_attn_kernel:
+        # Fused-kernel reverse step: the whole per-head attention chain
+        # (forward recompute, backward, LRP z-rules, (grad⊙cam)⁺ map) runs
+        # in ONE Pallas kernel per block with everything VMEM-resident; XLA
+        # keeps only the big Linear matmuls, LayerNorms and the rule tails.
+        assert fuse_grad_cam, "the kernel path implements the fused method"
+        attn_mxu = _mxu_name(attn_precision, matmul_precision)
+        rule_mxu = _mxu_name(relprop_precision, matmul_precision)
+        # the MLP kernel has no tf32 dots (Mosaic), and its f32 form
+        # (resident f32 weights + |W| temps) overflows scoped VMEM — use it
+        # only in the bf16 mode where the weight working set halves
+        use_mlp_kernel = (matmul_precision == "bfloat16"
+                          and variant == "ours" and alpha == 1.0)
+        mlp_mxu = _mxu_name(None, matmul_precision)
+        scale = cfg.head_dim ** -0.5
+
+        def kstep(carry, xs):
+            g_out, Rc = carry
+            x_in, x_mid, bp = xs
+            # lite recompute — no attention einsums in XLA
+            xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
+            qkv = xn1 @ bp["qkv"]["kernel"]
+            qkv_pre = qkv
+            if "bias" in bp["qkv"]:
+                qkv = qkv + bp["qkv"]["bias"]
+            out_merged = pk.attn_fwd_core(
+                qkv, cfg.num_heads, cfg.head_dim, scale, mxu=attn_mxu)
+            proj_pre = out_merged @ bp["proj"]["kernel"]
+            attn_out = proj_pre + bp["proj"]["bias"]
+
+            if use_mlp_kernel:
+                # whole MLP half (LN fwd/bwd, fc1/gelu/fc2 recompute,
+                # backward, add2 + both α-β rules + clone) in ONE kernel
+                g_mid, Rm = pk.mlp_rev_core(
+                    x_mid, g_out, Rc, bp["norm2"], bp, cfg.block_ln_eps,
+                    mxu=mlp_mxu, rule_mxu=rule_mxu, variant=variant,
+                    alpha=alpha)
+            else:
+                xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+                fc1_pre = xn2 @ bp["fc1"]["kernel"]
+                h1 = fc1_pre + bp["fc1"]["bias"]
+                hg = jax.nn.gelu(h1, approximate=False)
+                fc2_pre = hg @ bp["fc2"]["kernel"]
+                mlp_out = fc2_pre + bp["fc2"]["bias"]
+                # backward, MLP side (block_backward's first half)
+                g_hg = g_out @ bp["fc2"]["kernel"].T
+                g_h1 = g_hg * _gelu_grad(h1)
+                g_xn2 = g_h1 @ bp["fc1"]["kernel"].T
+                g_mid = g_out + _layernorm_bwd(g_xn2, x_mid, bp["norm2"],
+                                               cfg.block_ln_eps)
+
+                def mlp_rules(R):
+                    R1, R2 = rp.add_relprop(x_mid, mlp_out, R, variant)
+                    R2 = rp.linear_alphabeta(hg, bp["fc2"]["kernel"], R2,
+                                             alpha, variant, y_pre=fc2_pre)
+                    R2 = rp.linear_alphabeta(xn2, bp["fc1"]["kernel"], R2,
+                                             alpha, variant, y_pre=fc1_pre)
+                    return rp.clone_relprop(x_mid, [R1, R2])
+
+                if relprop_precision is not None:
+                    with jax.default_matmul_precision(relprop_precision):
+                        Rm = mlp_rules(Rc)
+                else:
+                    Rm = mlp_rules(Rc)
+
+            g_om = g_mid @ bp["proj"]["kernel"].T
+
+            # relprop: add1 split + proj rule (XLA; moderate shapes)
+            def rules_to_cam_o(Rm):
+                Ra1, Ra2 = rp.add_relprop(x_in, attn_out, Rm, variant,
+                                          Z=x_mid)
+                cam_o = rp.linear_alphabeta(out_merged, bp["proj"]["kernel"],
+                                            Ra2, alpha, variant,
+                                            y_pre=proj_pre)
+                return Ra1, cam_o
+
+            def rules_from_cam_qkv(cam_qkv, Ra1):
+                R2 = rp.linear_alphabeta(xn1, bp["qkv"]["kernel"], cam_qkv,
+                                         alpha, variant, y_pre=qkv_pre)
+                return rp.clone_relprop(x_in, [Ra1, R2])
+
+            if relprop_precision is not None:
+                with jax.default_matmul_precision(relprop_precision):
+                    Ra1, cam_o = rules_to_cam_o(Rm)
+            else:
+                Ra1, cam_o = rules_to_cam_o(Rm)
+
+            g_qkv, cam_qkv, gc = pk.attn_rev_core(
+                qkv, g_om, cam_o, cfg.num_heads, cfg.head_dim, scale,
+                attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+
+            g_xn1 = g_qkv @ bp["qkv"]["kernel"].T
+            g_in = g_mid + _layernorm_bwd(g_xn1, x_in, bp["norm1"],
+                                          cfg.block_ln_eps)
+            if relprop_precision is not None:
+                with jax.default_matmul_precision(relprop_precision):
+                    R_in = rules_from_cam_qkv(cam_qkv, Ra1)
+            else:
+                R_in = rules_from_cam_qkv(cam_qkv, Ra1)
+            return (g_in, R_in), (gc,)
+
+        (g0, R_tokens), (gc_maps,) = jax.lax.scan(
+            kstep, (g_final, R), (res.x_ins, res.x_mids, params["blocks"]),
+            reverse=True, unroll=unroll)
+        return R_tokens, gc_maps, None
 
     def step(carry, xs):
         g_out, Rc = carry

@@ -102,3 +102,438 @@ def rollout_from_grad_cam(cams: jax.Array, grads: Optional[jax.Array] = None,
         interpret=interpret,
     )(mats)
     return out[:n, :n].astype(cams.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention-core kernels.
+#
+# Profiling the explain program (B=64, see PERF.md) shows the MXU at ~15% of
+# device time; the rest is elementwise fusions, layout copies and casts —
+# dominated by the per-head q/k/v split/merge transposes and the (h, n, n)
+# attention chains that XLA materializes in HBM between every matmul. These
+# kernels keep the ENTIRE per-head attention computation VMEM-resident:
+#
+#   * ``attn_fwd_core``: qkv (n, 3D) raw-matmul layout -> softmax-attention
+#     output merged back to (n, D). No head-split transpose ever reaches HBM.
+#   * ``attn_rev_core``: one kernel per (sample, block) computing, per head,
+#     the forward recompute (dots, softmax, AV), the hand-written backward
+#     (the reference's attn.register_hook gradient, ViT_LRP.py:144-145 +
+#     softmax/QK^T/AV cotangents), the LRP z-rules through AV and QK^T with
+#     their /2 splits (ViT_LRP.py:154-177), and the fused
+#     ``(grad ⊙ cam)⁺`` head-mean map (ViT_LRP.py:358-366). Inputs and
+#     outputs stay in the (n, 3D)/(n, D) merged layouts the surrounding
+#     Linear matmuls consume, so XLA never transposes to head-major.
+#
+# Both are single-program kernels (grid=()) with a static python loop over
+# heads — safe under vmap batching (no ``pl.program_id`` dependence; the
+# batching rule prepends a grid dimension).
+#
+# ``mxu`` / ``attn_mxu`` / ``rule_mxu`` select the per-dot MXU precision:
+# "bfloat16" casts operands to bf16 (1-pass, f32 accumulation), anything else
+# runs float32 HIGHEST (6-pass; Mosaic does not implement tf32).
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-9
+
+
+def _vmem_params(interpret: bool):
+    # Raise the scoped-VMEM cap: the rev-core kernel's unrolled head loop
+    # plus its (n, 3D) refs peaks ~20 MiB, above the 16 MiB default; v5e has
+    # 128 MiB of VMEM.
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _kdot(a, b, dims, mxu: str):
+    """dot_general with f32 accumulation; operand dtype selects MXU passes.
+    (f64 operands — interpret-mode tests only — keep f64 accumulation.)"""
+    acc = a.dtype if a.dtype == jnp.float64 else jnp.float32
+    if mxu == "bfloat16":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+        # pin DEFAULT: the ambient tf32 (HIGH) context would otherwise leak
+        # in, and Mosaic implements only DEFAULT/HIGHEST
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=acc,
+                                   precision=jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=acc,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _ksafe_divide(a, b):
+    """ops.relprop.safe_divide, inlined for kernel bodies."""
+    eps = jnp.asarray(_EPS, b.dtype)
+    den = b + eps
+    den = jnp.where(den == 0, eps, den)
+    return jnp.where(b == 0, jnp.zeros((), a.dtype), a / den)
+
+
+def _attn_fwd_kernel(qkv_ref, out_ref, *, num_heads: int, head_dim: int,
+                     scale: float, mxu: str):
+    D = num_heads * head_dim
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = qkv_ref[:, sl]
+        k = qkv_ref[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = qkv_ref[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        dots = _kdot(q, k, ((1,), (1,)), mxu)                  # (n, n)
+        attn = jax.nn.softmax(dots * jnp.asarray(scale, dots.dtype), axis=-1)
+        out_ref[:, sl] = _kdot(attn, v, ((1,), (0,)), mxu)
+
+
+def _attn_rev_kernel(qkv_ref, g_o_ref, cam_o_ref,
+                     g_qkv_ref, cam_qkv_ref, gc_ref, *,
+                     num_heads: int, head_dim: int, scale: float,
+                     attn_mxu: str, rule_mxu: str):
+    n = qkv_ref.shape[0]
+    D = num_heads * head_dim
+    dt = qkv_ref.dtype
+    gc = jnp.zeros((n, n), dt)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = qkv_ref[:, sl]
+        k = qkv_ref[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = qkv_ref[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        g_o = g_o_ref[:, sl]
+        cam_o = cam_o_ref[:, sl]
+
+        # forward recompute (VMEM-resident)
+        dots = _kdot(q, k, ((1,), (1,)), attn_mxu)             # pre-scale
+        attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
+        out = _kdot(attn, v, ((1,), (0,)), attn_mxu)
+
+        # backward: hook gradient + softmax/QK/AV cotangents
+        g_attn = _kdot(g_o, v, ((1,), (1,)), attn_mxu)         # (n, n)
+        g_v = _kdot(attn, g_o, ((0,), (0,)), attn_mxu)
+        inner = (g_attn * attn).sum(axis=-1, keepdims=True)
+        g_dots = attn * (g_attn - inner) * jnp.asarray(scale, dt)
+        g_q = _kdot(g_dots, k, ((1,), (0,)), attn_mxu)
+        g_k = _kdot(g_dots, q, ((0,), (0,)), attn_mxu)
+
+        # LRP z-rules through AV then QK^T, each halved (ViT_LRP.py:160-173)
+        S1 = _ksafe_divide(cam_o, out)                         # (n, hd)
+        half = jnp.asarray(0.5, dt)
+        cam1 = attn * _kdot(S1, v, ((1,), (1,)), rule_mxu) * half
+        cam_v = v * _kdot(attn, S1, ((0,), (0,)), rule_mxu) * half
+        S2 = _ksafe_divide(cam1, dots)                         # (n, n)
+        cam_q = q * _kdot(S2, k, ((1,), (0,)), rule_mxu) * half
+        cam_k = k * _kdot(S2, q, ((0,), (0,)), rule_mxu) * half
+
+        # fused (grad ⊙ cam)⁺ accumulation (head-mean at the end)
+        gc = gc + jnp.maximum(g_attn * cam1, jnp.zeros((), dt))
+
+        g_qkv_ref[:, sl] = g_q
+        g_qkv_ref[:, D + h * head_dim: D + (h + 1) * head_dim] = g_k
+        g_qkv_ref[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = g_v
+        cam_qkv_ref[:, sl] = cam_q
+        cam_qkv_ref[:, D + h * head_dim: D + (h + 1) * head_dim] = cam_k
+        cam_qkv_ref[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = cam_v
+    gc_ref[:] = gc / jnp.asarray(num_heads, dt)
+
+
+def _split_heads(qkv: jax.Array, num_heads: int, head_dim: int):
+    n = qkv.shape[0]
+    x = qkv.reshape(n, 3, num_heads, head_dim).transpose(1, 2, 0, 3)
+    return x[0], x[1], x[2]                                    # (h, n, d) each
+
+
+def _attn_fwd_core_jnp(qkv, num_heads, head_dim, scale):
+    q, k, v = _split_heads(qkv, num_heads, head_dim)
+    dots = jnp.einsum("hid,hjd->hij", q, k)
+    attn = jax.nn.softmax(dots * scale, axis=-1)
+    out = jnp.einsum("hij,hjd->hid", attn, v)
+    h, n, d = out.shape
+    return out.transpose(1, 0, 2).reshape(n, h * d)
+
+
+def _attn_rev_core_jnp(qkv, g_o, cam_o, num_heads, head_dim, scale):
+    from transformer_explainability_tpu.ops.relprop import safe_divide
+    n = qkv.shape[0]
+    q, k, v = _split_heads(qkv, num_heads, head_dim)
+    go = g_o.reshape(n, num_heads, head_dim).transpose(1, 0, 2)
+    co = cam_o.reshape(n, num_heads, head_dim).transpose(1, 0, 2)
+    dots = jnp.einsum("hid,hjd->hij", q, k)
+    attn = jax.nn.softmax(dots * scale, axis=-1)
+    out = jnp.einsum("hij,hjd->hid", attn, v)
+    g_attn = jnp.einsum("hid,hjd->hij", go, v)
+    g_v = jnp.einsum("hij,hid->hjd", attn, go)
+    inner = (g_attn * attn).sum(axis=-1, keepdims=True)
+    g_dots = attn * (g_attn - inner) * scale
+    g_q = jnp.einsum("hij,hjd->hid", g_dots, k)
+    g_k = jnp.einsum("hij,hid->hjd", g_dots, q)
+    S1 = safe_divide(co, out)
+    cam1 = attn * jnp.einsum("hid,hjd->hij", S1, v) * 0.5
+    cam_v = v * jnp.einsum("hij,hid->hjd", attn, S1) * 0.5
+    S2 = safe_divide(cam1, dots)
+    cam_q = q * jnp.einsum("hij,hjd->hid", S2, k) * 0.5
+    cam_k = k * jnp.einsum("hij,hid->hjd", S2, q) * 0.5
+    gc = jnp.clip(g_attn * cam1, min=0).mean(axis=0)
+
+    def merge3(a, b, c):
+        x = jnp.stack([a, b, c], axis=0)                       # (3, h, n, d)
+        return x.transpose(2, 0, 1, 3).reshape(n, 3 * num_heads * head_dim)
+
+    return merge3(g_q, g_k, g_v), merge3(cam_q, cam_k, cam_v), gc
+
+
+def attn_fwd_core(qkv: jax.Array, num_heads: int, head_dim: int, scale: float,
+                  mxu: str = "float32", use_pallas: Optional[bool] = None,
+                  interpret: bool = False) -> jax.Array:
+    """Softmax attention from raw qkv (n, 3D) -> merged output (n, D)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas and not interpret:
+        return _attn_fwd_core_jnp(qkv, num_heads, head_dim, scale)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n = qkv.shape[0]
+    D = num_heads * head_dim
+    dt = jnp.float64 if qkv.dtype == jnp.float64 else jnp.float32
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale, mxu=mxu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, D), dt),
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(qkv.astype(dt))
+
+
+def attn_rev_core(qkv: jax.Array, g_o: jax.Array, cam_o: jax.Array,
+                  num_heads: int, head_dim: int, scale: float,
+                  attn_mxu: str = "float32", rule_mxu: str = "float32",
+                  use_pallas: Optional[bool] = None, interpret: bool = False):
+    """Fused backward + LRP relprop of the attention core.
+
+    qkv: (n, 3D) raw pre-split layout; g_o/cam_o: (n, D) merged-head gradient
+    and relevance arriving at the AV output. Returns
+    (g_qkv (n, 3D), cam_qkv (n, 3D), gc (n, n)) — the qkv-layout cotangent,
+    the qkv-layout relevance ('qkv h n d -> n (qkv h d)', ViT_LRP.py:175),
+    and the head-meaned ``(grad ⊙ cam)⁺`` map.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas and not interpret:
+        return _attn_rev_core_jnp(qkv, g_o, cam_o, num_heads, head_dim, scale)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n = qkv.shape[0]
+    D = num_heads * head_dim
+    dt = jnp.float64 if qkv.dtype == jnp.float64 else jnp.float32
+    return pl.pallas_call(
+        functools.partial(_attn_rev_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale,
+                          attn_mxu=attn_mxu, rule_mxu=rule_mxu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, 3 * D), dt),
+                   jax.ShapeDtypeStruct((n, 3 * D), dt),
+                   jax.ShapeDtypeStruct((n, n), dt)],
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(qkv.astype(dt), g_o.astype(dt), cam_o.astype(dt))
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP reverse core.
+#
+# The other big HBM family in the explain profile is the MLP chain: the
+# (n, mlp_dim) tensors (hg, |hg|, the rule divides, the α-β products)
+# materialize ~8x per block in XLA. This kernel runs the whole MLP part of
+# the fused reverse step — LayerNorm fwd+bwd, fc1/gelu/fc2 recompute,
+# the hand-written backward, the add2 split, both α-β Linear rules and the
+# clone merge (reference ViT_LRP.py:203-213 MLP half) — with every
+# (n, mlp_dim) tensor VMEM-resident. Weights enter pre-cast to the dot dtype
+# and, having a constant index map under the vmapped grid, are fetched to
+# VMEM once and stay resident across the batch.
+#
+# Restriction: variant="ours" with beta=0 (alpha=1) — the only configuration
+# the reference's callers use (ViT_explanation_generator.py:27). Other
+# variants keep the XLA path.
+# ---------------------------------------------------------------------------
+
+
+# Mosaic has no erf lowering; this is the XLA ErfExpander / Eigen
+# generic_fast_erf_float rational polynomial (the same approximation the
+# XLA path evaluates), validated against jax.lax.erf in the tests.
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08,
+              -2.10102402082508e-06, -5.69250639462346e-05,
+              -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04,
+             -1.68282697438203e-03, -7.37332916720468e-03,
+             -1.42647390514189e-02)
+
+
+def _kerf(x):
+    if x.dtype == jnp.float64:          # interpret-mode tests run on CPU
+        return jax.lax.erf(x)
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+    p = jnp.full_like(x2, _ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + jnp.asarray(c, x.dtype)
+    p = p * xc
+    q = jnp.full_like(x2, _ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + jnp.asarray(c, x.dtype)
+    return jnp.clip(p / q, -1.0, 1.0)
+
+
+def _gelu_exact(x):
+    cdf = 0.5 * (1.0 + _kerf(x / jnp.sqrt(2.0).astype(x.dtype)))
+    return x * cdf
+
+
+def _gelu_grad(x):
+    cdf = 0.5 * (1.0 + _kerf(x / jnp.sqrt(2.0).astype(x.dtype)))
+    pdf = jnp.exp(-0.5 * x * x) / jnp.sqrt(2.0 * jnp.pi).astype(x.dtype)
+    return cdf + x * pdf
+
+
+def _ln_fwd(x, s, b, eps):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + jnp.asarray(eps, x.dtype))
+    return (x - mu) * inv * s + b, mu, inv
+
+
+def _mlp_rev_kernel(x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
+                    b1_ref, b2_ref, w1_ref, w2_ref,
+                    g_mid_ref, Rm_ref, *, eps: float, mxu: str,
+                    rule_mxu: str):
+    dt = x_mid_ref.dtype
+    x_mid = x_mid_ref[:]
+    g_out = g_out_ref[:]
+    R = R_ref[:]
+    s = ln_s_ref[:]
+    b = ln_b_ref[:]
+    half = jnp.asarray(0.5, dt)
+
+    # forward recompute (LN -> fc1 -> gelu -> fc2), (n, M) stays in VMEM
+    xn2, mu, inv = _ln_fwd(x_mid, s, b, eps)
+    fc1_pre = _kdot(xn2, w1_ref[:], ((1,), (0,)), mxu)
+    h1 = fc1_pre + b1_ref[:]
+    hg = _gelu_exact(h1)
+    fc2_pre = _kdot(hg, w2_ref[:], ((1,), (0,)), mxu)
+    mlp_out = fc2_pre + b2_ref[:]
+
+    # backward (models/vit.block_backward MLP half)
+    g_hg = _kdot(g_out, w2_ref[:], ((1,), (1,)), mxu)
+    g_h1 = g_hg * _gelu_grad(h1)
+    g_xn2 = _kdot(g_h1, w1_ref[:], ((1,), (1,)), mxu)
+    gg = g_xn2 * s
+    xhat = (x_mid - mu) * inv
+    g_ln = inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+    g_mid_ref[:] = g_out + g_ln
+
+    # relprop: add2 split with the "ours" renormalization
+    Z = x_mid + mlp_out
+    S = _ksafe_divide(R, Z)
+    Ca = x_mid * S
+    Cb = mlp_out * S
+    a_sum = Ca.sum()
+    b_sum = Cb.sum()
+    tot = jnp.abs(a_sum) + jnp.abs(b_sum)
+    r_sum = R.sum()
+    a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
+    b_fact = _ksafe_divide(jnp.abs(b_sum), tot) * r_sum
+    Ca = Ca * _ksafe_divide(a_fact, a_sum)
+    Cb = Cb * _ksafe_divide(b_fact, b_sum)
+
+    # fc2 α-β rule (abs identity, shared denominator; y_pre = fc2_pre).
+    # |W| is recomputed in VMEM per invocation (a VPU pass) rather than
+    # passed in — resident weight copies are what overflow scoped VMEM.
+    ahg = jnp.abs(hg)
+    aw2 = jnp.abs(w2_ref[:])
+    axw2 = _kdot(ahg, aw2, ((1,), (0,)), rule_mxu)
+    Sr = _ksafe_divide(Cb, half * (fc2_pre + axw2))
+    R2 = half * (hg * _kdot(Sr, w2_ref[:], ((1,), (1,)), rule_mxu)
+                 + ahg * _kdot(Sr, aw2, ((1,), (1,)), rule_mxu))
+
+    # fc1 α-β rule (y_pre = fc1_pre)
+    axn2 = jnp.abs(xn2)
+    aw1 = jnp.abs(w1_ref[:])
+    axw1 = _kdot(axn2, aw1, ((1,), (0,)), rule_mxu)
+    S1 = _ksafe_divide(R2, half * (fc1_pre + axw1))
+    R2b = half * (xn2 * _kdot(S1, w1_ref[:], ((1,), (1,)), rule_mxu)
+                  + axn2 * _kdot(S1, aw1, ((1,), (1,)), rule_mxu))
+
+    # clone merge (single shared divide — ops/relprop.clone_relprop)
+    Rm_ref[:] = x_mid * _ksafe_divide(Ca + R2b, x_mid)
+
+
+def _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, eps, variant, alpha):
+    """jnp fallback composed from the rule library (same ops as the XLA
+    fused step)."""
+    from transformer_explainability_tpu.ops import relprop as rel
+    mu = x_mid.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x_mid - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + jnp.asarray(eps, x_mid.dtype))
+    xn2 = (x_mid - mu) * inv * ln["scale"] + ln["bias"]
+    fc1_pre = xn2 @ bp["fc1"]["kernel"]
+    h1 = fc1_pre + bp["fc1"]["bias"]
+    hg = _gelu_exact(h1)
+    fc2_pre = hg @ bp["fc2"]["kernel"]
+    mlp_out = fc2_pre + bp["fc2"]["bias"]
+
+    g_hg = g_out @ bp["fc2"]["kernel"].T
+    g_h1 = g_hg * _gelu_grad(h1)
+    g_xn2 = g_h1 @ bp["fc1"]["kernel"].T
+    gg = g_xn2 * ln["scale"]
+    xhat = (x_mid - mu) * inv
+    g_ln = inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+    g_mid = g_out + g_ln
+
+    R1, R2 = rel.add_relprop(x_mid, mlp_out, R, variant)
+    R2 = rel.linear_alphabeta(hg, bp["fc2"]["kernel"], R2, alpha, variant,
+                              y_pre=fc2_pre)
+    R2 = rel.linear_alphabeta(xn2, bp["fc1"]["kernel"], R2, alpha, variant,
+                              y_pre=fc1_pre)
+    Rm = rel.clone_relprop(x_mid, [R1, R2])
+    return g_mid, Rm
+
+
+def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
+                 ln: dict, bp: dict, eps: float,
+                 mxu: str = "float32", rule_mxu: str = "float32",
+                 variant: str = "ours", alpha: float = 1.0,
+                 use_pallas: Optional[bool] = None,
+                 interpret: bool = False):
+    """Fused MLP half of the reverse step: returns (g_mid, R_mid).
+
+    x_mid/g_out/R: (n, D); ``ln``: norm2 {scale, bias}; ``bp``: block params
+    holding fc1/fc2 {kernel, bias}. Kernel path requires variant="ours",
+    alpha=1 (falls back to jnp otherwise).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (not use_pallas and not interpret) or variant != "ours" or alpha != 1.0:
+        return _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, eps, variant, alpha)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n, D = x_mid.shape
+    dt = jnp.float64 if x_mid.dtype == jnp.float64 else jnp.float32
+    # weights enter in the *forward* dot dtype; rule-side casts/abs happen
+    # in VMEM (_kdot casts per dot when rule_mxu is bfloat16)
+    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
+    outs = pl.pallas_call(
+        functools.partial(_mlp_rev_kernel, eps=eps, mxu=mxu,
+                          rule_mxu=rule_mxu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, D), dt),
+                   jax.ShapeDtypeStruct((n, D), dt)],
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(x_mid.astype(dt), g_out.astype(dt), R.astype(dt),
+      ln["scale"][None].astype(dt), ln["bias"][None].astype(dt),
+      bp["fc1"]["bias"][None].astype(dt), bp["fc2"]["bias"][None].astype(dt),
+      bp["fc1"]["kernel"].astype(wdt), bp["fc2"]["kernel"].astype(wdt))
+    return outs[0], outs[1]
