@@ -243,6 +243,10 @@ class Residuals(NamedTuple):
     xn: Array        # final norm output (n, D) — pool's input
     cls: Array       # pooled CLS (D,) — head's input
     attns: Array     # (L, h, n, n) post-softmax attention probabilities
+    # (L, n, D) merged attention outputs — saved ONLY on the fused-kernel
+    # path (one extra anchor saves the reverse pass a full attention-forward
+    # recompute per block); None otherwise
+    outs: Optional[Array] = None
 
 
 def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
@@ -294,9 +298,9 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
             h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
             mlp_out = (jax.nn.gelu(h1, approximate=False)
                        @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
-            return x_mid + mlp_out, (x, x_mid)
+            return x_mid + mlp_out, (x, x_mid, out_merged)
 
-        x_final, (x_ins, x_mids) = jax.lax.scan(
+        x_final, (x_ins, x_mids, outs) = jax.lax.scan(
             step_lite, x0, params["blocks"], unroll=unroll)
         attns = None
     else:
@@ -323,7 +327,8 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
         logits_dist = (xn[1] @ params["head_dist"]["kernel"]
                        + params["head_dist"]["bias"])
         logits = (logits + logits_dist) / 2      # timm DeiT eval fusion
-    res = Residuals(x0, cat_x, x_ins, x_mids, x_final, xn, cls, attns)
+    res = Residuals(x0, cat_x, x_ins, x_mids, x_final, xn, cls, attns,
+                    outs if use_attn_kernel else None)
     return logits, res
 
 
@@ -593,15 +598,15 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
         def kstep(carry, xs):
             g_out, Rc = carry
-            x_in, x_mid, bp = xs
-            # lite recompute — no attention einsums in XLA
+            x_in, x_mid, out_merged, bp = xs
+            # lite recompute — no attention einsums in XLA (out_merged is
+            # the third forward anchor; the attention internals are
+            # recomputed inside attn_rev_core)
             xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
             qkv = xn1 @ bp["qkv"]["kernel"]
             qkv_pre = qkv
             if "bias" in bp["qkv"]:
                 qkv = qkv + bp["qkv"]["bias"]
-            out_merged = pk.attn_fwd_core(
-                qkv, cfg.num_heads, cfg.head_dim, scale, mxu=attn_mxu)
             proj_pre = out_merged @ bp["proj"]["kernel"]
             attn_out = proj_pre + bp["proj"]["bias"]
 
@@ -676,8 +681,11 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                 R_in = rules_from_cam_qkv(cam_qkv, Ra1)
             return (g_in, R_in), (gc,)
 
+        assert res.outs is not None, \
+            "kernel reverse path needs forward_collect(use_attn_kernel=True)"
         (g0, R_tokens), (gc_maps,) = jax.lax.scan(
-            kstep, (g_final, R), (res.x_ins, res.x_mids, params["blocks"]),
+            kstep, (g_final, R),
+            (res.x_ins, res.x_mids, res.outs, params["blocks"]),
             reverse=True, unroll=unroll)
         return R_tokens, gc_maps, None
 
