@@ -87,14 +87,16 @@ def main():
         raise SystemExit("all batch sizes failed")
     B, rate = best
 
-    # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1)
+    # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1); only
+    # the production sweep's best batch size is re-run — each extra shape
+    # costs a multi-minute compile on the relay
     parity = None
     if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
         if (precision, relprop_precision) == ("float32", None):
             parity = best
         else:
             parity = _bench_mode(cfg, params, rng, "float32", None, None,
-                                 batch_candidates)
+                                 [B])
 
     out = {
         "metric": "vit_b16_transformer_attribution_explanations_per_sec_per_chip",

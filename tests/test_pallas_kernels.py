@@ -237,3 +237,73 @@ def test_kernel_erf_matches_lax_erf():
     x = jnp.asarray(np.linspace(-6, 6, 100001).astype(np.float32))
     np.testing.assert_allclose(np.asarray(_kerf(x)),
                                np.asarray(jax.lax.erf(x)), atol=1e-6)
+
+
+def test_block_rev_core_interpret_matches_vit_blocks():
+    """The whole-block megakernel == block_backward + _block_relprop_impl +
+    the fused grad-cam map, in f64 (interpret mode)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import block_rev_core
+    from transformer_explainability_tpu.models import vit as vit_mod
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                                depth=1, num_heads=4, num_classes=4)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            vit_mod.init_params(jax.random.PRNGKey(3), cfg))
+        bp = jax.tree.map(lambda a: a[0], params["blocks"])
+        rng = np.random.RandomState(8)
+        n, D = cfg.num_tokens, cfg.embed_dim
+        x_in = jnp.asarray(rng.randn(n, D))
+        x_mid, _, acts = vit_mod._block_acts(x_in, bp, cfg)
+        g_out = jnp.asarray(rng.randn(n, D))
+        R = jnp.asarray(rng.randn(n, D))
+
+        want_g, want_gtap = vit_mod.block_backward(g_out, x_in, x_mid, acts,
+                                                   bp, cfg)
+        want_R, attn_cam, _ = vit_mod._block_relprop_impl(
+            R, x_in, x_mid, bp, cfg, 1.0, "ours", acts=acts)
+        want_gc = jnp.clip(want_gtap * attn_cam, min=0).mean(axis=0)
+
+        got_g, got_R, got_gc = block_rev_core(
+            x_in, x_mid, acts.out_merged, g_out, R, bp,
+            cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+            mxu="float32", attn_mxu="float32", rule_mxu="float32",
+            use_pallas=True, interpret=True)
+        for g, w, name in [(got_g, want_g, "g_in"), (got_R, want_R, "R_in"),
+                           (got_gc, want_gc, "gc")]:
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_block_fwd_core_interpret_matches_vit_blocks():
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import block_fwd_core
+    from transformer_explainability_tpu.models import vit as vit_mod
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                                depth=1, num_heads=4, num_classes=4)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            vit_mod.init_params(jax.random.PRNGKey(4), cfg))
+        bp = jax.tree.map(lambda a: a[0], params["blocks"])
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(cfg.num_tokens, cfg.embed_dim))
+        want_mid, want_out, acts = vit_mod._block_acts(x, bp, cfg)
+        got_out, got_mid, got_om = block_fwd_core(
+            x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+            mxu="float32", attn_mxu="float32",
+            use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_mid), np.asarray(want_mid),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_om),
+                                   np.asarray(acts.out_merged),
+                                   rtol=1e-9, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -96,7 +96,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     logits, res = vit_mod.forward_collect(params, img, cfg,
                                           attn_precision=attn_precision,
                                           unroll=unroll,
-                                          use_attn_kernel=use_attn_kernel)
+                                          use_attn_kernel=use_attn_kernel,
+                                          matmul_precision=matmul_precision)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single

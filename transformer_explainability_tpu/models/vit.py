@@ -266,7 +266,9 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                     taps: Optional[Array] = None,
                     attn_precision: Optional[str] = None,
                     unroll: int = 1,
-                    use_attn_kernel: bool = False) -> Tuple[Array, Residuals]:
+                    use_attn_kernel: bool = False,
+                    matmul_precision: str = "float32"
+                    ) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
     ``taps``: optional (L, h, n, n) zeros added to each layer's post-softmax
@@ -282,23 +284,32 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
 
     if use_attn_kernel:
         assert taps is None, "taps are not supported on the kernel path"
-        fwd_mxu = _mxu_name(attn_precision)
+        fwd_mxu = _mxu_name(attn_precision, matmul_precision)
 
-        def step_lite(x, bp):
-            xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
-            qkv = xn1 @ bp["qkv"]["kernel"]
-            if "bias" in bp["qkv"]:
-                qkv = qkv + bp["qkv"]["bias"]
-            out_merged = pk.attn_fwd_core(
-                qkv, cfg.num_heads, cfg.head_dim, cfg.head_dim ** -0.5,
-                mxu=fwd_mxu)
-            attn_out = out_merged @ bp["proj"]["kernel"] + bp["proj"]["bias"]
-            x_mid = x + attn_out
-            xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
-            h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
-            mlp_out = (jax.nn.gelu(h1, approximate=False)
-                       @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
-            return x_mid + mlp_out, (x, x_mid, out_merged)
+        if matmul_precision == "bfloat16":
+            # whole-block forward megakernel (one Pallas program per block)
+            def step_lite(x, bp):
+                x_out, x_mid, out_merged = pk.block_fwd_core(
+                    x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                    mxu="bfloat16", attn_mxu=fwd_mxu)
+                return x_out, (x, x_mid, out_merged)
+        else:
+            def step_lite(x, bp):
+                xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
+                qkv = xn1 @ bp["qkv"]["kernel"]
+                if "bias" in bp["qkv"]:
+                    qkv = qkv + bp["qkv"]["bias"]
+                out_merged = pk.attn_fwd_core(
+                    qkv, cfg.num_heads, cfg.head_dim, cfg.head_dim ** -0.5,
+                    mxu=fwd_mxu)
+                attn_out = (out_merged @ bp["proj"]["kernel"]
+                            + bp["proj"]["bias"])
+                x_mid = x + attn_out
+                xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+                h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+                mlp_out = (jax.nn.gelu(h1, approximate=False)
+                           @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
+                return x_mid + mlp_out, (x, x_mid, out_merged)
 
         x_final, (x_ins, x_mids, outs) = jax.lax.scan(
             step_lite, x0, params["blocks"], unroll=unroll)
@@ -588,13 +599,34 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         assert fuse_grad_cam, "the kernel path implements the fused method"
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
-        # the MLP kernel has no tf32 dots (Mosaic), and its f32 form
-        # (resident f32 weights + |W| temps) overflows scoped VMEM — use it
-        # only in the bf16 mode where the weight working set halves
+        # the MLP/whole-block kernels have no tf32 dots (Mosaic), and their
+        # f32 forms (resident f32 weights + |W| temps) overflow scoped VMEM —
+        # bf16 mode only
         use_mlp_kernel = (matmul_precision == "bfloat16"
                           and variant == "ours" and alpha == 1.0)
+        # whole-block megakernel: ONE Pallas program per (sample, block) for
+        # the entire reverse step (per-program fixed cost dominates the
+        # smaller kernels — PERF.md)
+        use_block_kernel = use_mlp_kernel
         mlp_mxu = _mxu_name(None, matmul_precision)
         scale = cfg.head_dim ** -0.5
+
+        if use_block_kernel:
+            def kstep_block(carry, xs):
+                g_out, Rc = carry
+                x_in, x_mid, out_m, bp = xs
+                g_in, R_in, gc = pk.block_rev_core(
+                    x_in, x_mid, out_m, g_out, Rc, bp,
+                    cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                    mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+                return (g_in, R_in), (gc,)
+
+            assert res.outs is not None
+            (g0, R_tokens), (gc_maps,) = jax.lax.scan(
+                kstep_block, (g_final, R),
+                (res.x_ins, res.x_mids, res.outs, params["blocks"]),
+                reverse=True, unroll=unroll)
+            return R_tokens, gc_maps, None
 
         def kstep(carry, xs):
             g_out, Rc = carry

@@ -402,70 +402,67 @@ def _ln_fwd(x, s, b, eps):
     return (x - mu) * inv * s + b, mu, inv
 
 
-def _mlp_rev_kernel(x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
-                    b1_ref, b2_ref, w1_ref, w2_ref,
-                    g_mid_ref, Rm_ref, *, eps: float, mxu: str,
-                    rule_mxu: str):
-    dt = x_mid_ref.dtype
-    x_mid = x_mid_ref[:]
-    g_out = g_out_ref[:]
-    R = R_ref[:]
-    s = ln_s_ref[:]
-    b = ln_b_ref[:]
+def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
+                  eps: float, mxu: str, rule_mxu: str):
+    """The MLP half of the fused reverse step, on arrays (shared by the
+    standalone MLP kernel and the whole-block megakernel)."""
+    dt = x_mid.dtype
     half = jnp.asarray(0.5, dt)
 
     # forward recompute (LN -> fc1 -> gelu -> fc2), (n, M) stays in VMEM
     xn2, mu, inv = _ln_fwd(x_mid, s, b, eps)
-    fc1_pre = _kdot(xn2, w1_ref[:], ((1,), (0,)), mxu)
-    h1 = fc1_pre + b1_ref[:]
+    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mxu)
+    h1 = fc1_pre + b1
     hg = _gelu_exact(h1)
-    fc2_pre = _kdot(hg, w2_ref[:], ((1,), (0,)), mxu)
-    mlp_out = fc2_pre + b2_ref[:]
+    fc2_pre = _kdot(hg, w2, ((1,), (0,)), mxu)
+    mlp_out = fc2_pre + b2
 
     # backward (models/vit.block_backward MLP half)
-    g_hg = _kdot(g_out, w2_ref[:], ((1,), (1,)), mxu)
+    g_hg = _kdot(g_out, w2, ((1,), (1,)), mxu)
     g_h1 = g_hg * _gelu_grad(h1)
-    g_xn2 = _kdot(g_h1, w1_ref[:], ((1,), (1,)), mxu)
+    g_xn2 = _kdot(g_h1, w1, ((1,), (1,)), mxu)
     gg = g_xn2 * s
     xhat = (x_mid - mu) * inv
     g_ln = inv * (gg - gg.mean(axis=-1, keepdims=True)
                   - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
-    g_mid_ref[:] = g_out + g_ln
+    g_mid = g_out + g_ln
 
     # relprop: add2 split with the "ours" renormalization
-    Z = x_mid + mlp_out
-    S = _ksafe_divide(R, Z)
-    Ca = x_mid * S
-    Cb = mlp_out * S
-    a_sum = Ca.sum()
-    b_sum = Cb.sum()
-    tot = jnp.abs(a_sum) + jnp.abs(b_sum)
-    r_sum = R.sum()
-    a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
-    b_fact = _ksafe_divide(jnp.abs(b_sum), tot) * r_sum
-    Ca = Ca * _ksafe_divide(a_fact, a_sum)
-    Cb = Cb * _ksafe_divide(b_fact, b_sum)
+    Ca, Cb = _add_rule_math(x_mid, mlp_out, R)
 
     # fc2 α-β rule (abs identity, shared denominator; y_pre = fc2_pre).
     # |W| is recomputed in VMEM per invocation (a VPU pass) rather than
     # passed in — resident weight copies are what overflow scoped VMEM.
     ahg = jnp.abs(hg)
-    aw2 = jnp.abs(w2_ref[:])
+    aw2 = jnp.abs(w2)
     axw2 = _kdot(ahg, aw2, ((1,), (0,)), rule_mxu)
     Sr = _ksafe_divide(Cb, half * (fc2_pre + axw2))
-    R2 = half * (hg * _kdot(Sr, w2_ref[:], ((1,), (1,)), rule_mxu)
+    R2 = half * (hg * _kdot(Sr, w2, ((1,), (1,)), rule_mxu)
                  + ahg * _kdot(Sr, aw2, ((1,), (1,)), rule_mxu))
 
     # fc1 α-β rule (y_pre = fc1_pre)
     axn2 = jnp.abs(xn2)
-    aw1 = jnp.abs(w1_ref[:])
+    aw1 = jnp.abs(w1)
     axw1 = _kdot(axn2, aw1, ((1,), (0,)), rule_mxu)
     S1 = _ksafe_divide(R2, half * (fc1_pre + axw1))
-    R2b = half * (xn2 * _kdot(S1, w1_ref[:], ((1,), (1,)), rule_mxu)
+    R2b = half * (xn2 * _kdot(S1, w1, ((1,), (1,)), rule_mxu)
                   + axn2 * _kdot(S1, aw1, ((1,), (1,)), rule_mxu))
 
     # clone merge (single shared divide — ops/relprop.clone_relprop)
-    Rm_ref[:] = x_mid * _ksafe_divide(Ca + R2b, x_mid)
+    Rm = x_mid * _ksafe_divide(Ca + R2b, x_mid)
+    return g_mid, Rm
+
+
+def _mlp_rev_kernel(x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
+                    b1_ref, b2_ref, w1_ref, w2_ref,
+                    g_mid_ref, Rm_ref, *, eps: float, mxu: str,
+                    rule_mxu: str):
+    g_mid, Rm = _mlp_rev_math(
+        x_mid_ref[:], g_out_ref[:], R_ref[:], ln_s_ref[:], ln_b_ref[:],
+        b1_ref[:], b2_ref[:], w1_ref[:], w2_ref[:],
+        eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+    g_mid_ref[:] = g_mid
+    Rm_ref[:] = Rm
 
 
 def _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, eps, variant, alpha):
@@ -537,3 +534,292 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
       bp["fc1"]["bias"][None].astype(dt), bp["fc2"]["bias"][None].astype(dt),
       bp["fc1"]["kernel"].astype(wdt), bp["fc2"]["kernel"].astype(wdt))
     return outs[0], outs[1]
+
+
+# ---------------------------------------------------------------------------
+# Whole-block reverse megakernel.
+#
+# Per-program fixed cost (~35us: small-dot pipeline latency + program setup)
+# dominates the separate attention/MLP kernels, and the remaining XLA glue
+# (LN fwd/bwd, qkv/proj matmuls, add/clone/proj/qkv rules) still round-trips
+# (n, D)/(n, 3D) tensors through HBM. This kernel runs the ENTIRE fused
+# reverse step of one block — everything between (g_out, R_out) and
+# (g_in, R_in, gc) — in a single Pallas program per (sample, block):
+# LN1/qkv recompute, the MLP core, backward, the add1/proj/qkv α-β rules,
+# the attention core, and the clone merges. bf16-mode only (the f32 weight
+# working set overflows scoped VMEM).
+# ---------------------------------------------------------------------------
+
+
+def _add_rule_math(a, b, R, Z=None):
+    """'ours' Add rule with in-kernel (per-sample) global sums."""
+    dt = R.dtype
+    if Z is None:
+        Z = a + b
+    S = _ksafe_divide(R, Z)
+    Ca = a * S
+    Cb = b * S
+    a_sum = Ca.sum()
+    b_sum = Cb.sum()
+    tot = jnp.abs(a_sum) + jnp.abs(b_sum)
+    r_sum = R.sum()
+    a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
+    b_fact = _ksafe_divide(jnp.abs(b_sum), tot) * r_sum
+    return Ca * _ksafe_divide(a_fact, a_sum), Cb * _ksafe_divide(b_fact, b_sum)
+
+
+def _linear_rule_math(x, w, R, y_pre, rule_mxu):
+    """'ours' α-β rule at α=1 (abs identity, shared denominator)."""
+    dt = x.dtype
+    half = jnp.asarray(0.5, dt)
+    ax = jnp.abs(x)
+    aw = jnp.abs(w)
+    axw = _kdot(ax, aw, ((1,), (0,)), rule_mxu)
+    S = _ksafe_divide(R, half * (y_pre + axw))
+    return half * (x * _kdot(S, w, ((1,), (1,)), rule_mxu)
+                   + ax * _kdot(S, aw, ((1,), (1,)), rule_mxu))
+
+
+def _attn_rev_math(qkv, g_o, cam_o, num_heads, head_dim, scale,
+                   attn_mxu, rule_mxu):
+    """Head-loop attention reverse (the _attn_rev_kernel body on arrays);
+    returns (g_qkv, cam_qkv, gc) in the raw (n, 3D) layout."""
+    n = qkv.shape[0]
+    D = num_heads * head_dim
+    dt = qkv.dtype
+    half = jnp.asarray(0.5, dt)
+    gc = jnp.zeros((n, n), dt)
+    gq, gk, gv, cq, ck, cv = [], [], [], [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = qkv[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        go = g_o[:, h * head_dim:(h + 1) * head_dim]
+        co = cam_o[:, h * head_dim:(h + 1) * head_dim]
+        dots = _kdot(q, k, ((1,), (1,)), attn_mxu)
+        attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
+        out = _kdot(attn, v, ((1,), (0,)), attn_mxu)
+        g_attn = _kdot(go, v, ((1,), (1,)), attn_mxu)
+        gv.append(_kdot(attn, go, ((0,), (0,)), attn_mxu))
+        inner = (g_attn * attn).sum(axis=-1, keepdims=True)
+        g_dots = attn * (g_attn - inner) * jnp.asarray(scale, dt)
+        gq.append(_kdot(g_dots, k, ((1,), (0,)), attn_mxu))
+        gk.append(_kdot(g_dots, q, ((0,), (0,)), attn_mxu))
+        S1 = _ksafe_divide(co, out)
+        cam1 = attn * _kdot(S1, v, ((1,), (1,)), rule_mxu) * half
+        cv.append(v * _kdot(attn, S1, ((0,), (0,)), rule_mxu) * half)
+        S2 = _ksafe_divide(cam1, dots)
+        cq.append(q * _kdot(S2, k, ((1,), (0,)), rule_mxu) * half)
+        ck.append(k * _kdot(S2, q, ((0,), (0,)), rule_mxu) * half)
+        gc = gc + jnp.maximum(g_attn * cam1, jnp.zeros((), dt))
+    g_qkv = jnp.concatenate(gq + gk + gv, axis=1)
+    cam_qkv = jnp.concatenate(cq + ck + cv, axis=1)
+    return g_qkv, cam_qkv, gc / jnp.asarray(num_heads, dt)
+
+
+def _block_rev_math(x_in, x_mid, out_m, g_out, R,
+                    ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
+                    wqkv, wproj, w1, w2, *,
+                    num_heads, head_dim, scale, eps, mxu, attn_mxu, rule_mxu):
+    """The whole fused reverse step of one block (vit.reverse_pass kstep)."""
+    dt = x_in.dtype
+    # recompute LN1 + qkv (out_m is the saved forward anchor)
+    xn1, mu1, inv1 = _ln_fwd(x_in, ln1s, ln1b, eps)
+    qkv_pre = _kdot(xn1, wqkv, ((1,), (0,)), mxu)
+    qkv = qkv_pre + bqkv
+    proj_pre = _kdot(out_m, wproj, ((1,), (0,)), mxu)
+    attn_out = proj_pre + bproj
+
+    # MLP half
+    g_mid, Rm = _mlp_rev_math(x_mid, g_out, R, ln2s, ln2b, b1, b2, w1, w2,
+                              eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+
+    g_om = _kdot(g_mid, wproj, ((1,), (1,)), mxu)
+
+    # add1 split (Z = x_mid, the stored residual boundary) + proj rule
+    Ra1, Ra2 = _add_rule_math(x_in, attn_out, Rm, Z=x_mid)
+    cam_o = _linear_rule_math(out_m, wproj, Ra2, proj_pre, rule_mxu)
+
+    # attention core
+    g_qkv, cam_qkv, gc = _attn_rev_math(qkv, g_om, cam_o, num_heads,
+                                        head_dim, scale, attn_mxu, rule_mxu)
+
+    # qkv-side tails
+    g_xn1 = _kdot(g_qkv, wqkv, ((1,), (1,)), mxu)
+    gg = g_xn1 * ln1s
+    xhat = (x_in - mu1) * inv1
+    g_in = g_mid + inv1 * (gg - gg.mean(axis=-1, keepdims=True)
+                           - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+    R2 = _linear_rule_math(xn1, wqkv, cam_qkv, qkv_pre, rule_mxu)
+    R_in = x_in * _ksafe_divide(Ra1 + R2, x_in)
+    return g_in, R_in, gc
+
+
+def _block_rev_kernel(x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
+                      ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                      bqkv_ref, bproj_ref, b1_ref, b2_ref,
+                      wqkv_ref, wproj_ref, w1_ref, w2_ref,
+                      g_in_ref, R_in_ref, gc_ref, *,
+                      num_heads, head_dim, scale, eps, mxu, attn_mxu,
+                      rule_mxu):
+    g_in, R_in, gc = _block_rev_math(
+        x_in_ref[:], x_mid_ref[:], out_ref[:], g_out_ref[:], R_ref[:],
+        ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
+        bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
+        wqkv_ref[:], wproj_ref[:], w1_ref[:], w2_ref[:],
+        num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
+        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    g_in_ref[:] = g_in
+    R_in_ref[:] = R_in
+    gc_ref[:] = gc
+
+
+def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
+                   num_heads: int, head_dim: int, eps: float,
+                   mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
+                   rule_mxu: str = "bfloat16",
+                   use_pallas: Optional[bool] = None,
+                   interpret: bool = False):
+    """ONE kernel for the entire fused reverse step of a ViT block
+    (variant="ours", α=1): returns (g_in, R_in, gc (n, n)).
+
+    ``bp``: the block params dict (norm1/norm2/qkv/proj/fc1/fc2). Weights
+    enter pre-cast to the forward dot dtype; rule-side abs/casts happen in
+    VMEM. bf16 mode only on real hardware (f32 weights overflow scoped
+    VMEM); the jnp fallback (and interpret mode) is dtype-exact.
+    """
+    scale = head_dim ** -0.5
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, D = x_in.shape
+    dt = jnp.float64 if x_in.dtype == jnp.float64 else jnp.float32
+    bqkv = bp["qkv"].get("bias")
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * D,), dt)
+    args = dict(
+        ln1s=bp["norm1"]["scale"][None].astype(dt),
+        ln1b=bp["norm1"]["bias"][None].astype(dt),
+        ln2s=bp["norm2"]["scale"][None].astype(dt),
+        ln2b=bp["norm2"]["bias"][None].astype(dt),
+        bqkv=bqkv[None].astype(dt), bproj=bp["proj"]["bias"][None].astype(dt),
+        b1=bp["fc1"]["bias"][None].astype(dt),
+        b2=bp["fc2"]["bias"][None].astype(dt))
+    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
+    ws = dict(wqkv=bp["qkv"]["kernel"].astype(wdt),
+              wproj=bp["proj"]["kernel"].astype(wdt),
+              w1=bp["fc1"]["kernel"].astype(wdt),
+              w2=bp["fc2"]["kernel"].astype(wdt))
+    if not use_pallas and not interpret:
+        return _block_rev_math(
+            x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt),
+            g_out.astype(dt), R.astype(dt), **args, **ws,
+            num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
+            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        functools.partial(_block_rev_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
+                          attn_mxu=attn_mxu, rule_mxu=rule_mxu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, D), dt),
+                   jax.ShapeDtypeStruct((n, D), dt),
+                   jax.ShapeDtypeStruct((n, n), dt)],
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt), g_out.astype(dt),
+      R.astype(dt), args["ln1s"], args["ln1b"], args["ln2s"], args["ln2b"],
+      args["bqkv"], args["bproj"], args["b1"], args["b2"],
+      ws["wqkv"], ws["wproj"], ws["w1"], ws["w2"])
+
+
+# ---------------------------------------------------------------------------
+# Whole-block forward megakernel (the fused path's forward-scan body).
+# ---------------------------------------------------------------------------
+
+
+def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
+                    wqkv, wproj, w1, w2, *,
+                    num_heads, head_dim, scale, eps, mxu, attn_mxu):
+    dt = x.dtype
+    D = num_heads * head_dim
+    xn1, _, _ = _ln_fwd(x, ln1s, ln1b, eps)
+    qkv = _kdot(xn1, wqkv, ((1,), (0,)), mxu) + bqkv
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = qkv[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        dots = _kdot(q, k, ((1,), (1,)), attn_mxu)
+        attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
+        outs.append(_kdot(attn, v, ((1,), (0,)), attn_mxu))
+    out_m = jnp.concatenate(outs, axis=1)
+    attn_out = _kdot(out_m, wproj, ((1,), (0,)), mxu) + bproj
+    x_mid = x + attn_out
+    xn2, _, _ = _ln_fwd(x_mid, ln2s, ln2b, eps)
+    h1 = _kdot(xn2, w1, ((1,), (0,)), mxu) + b1
+    hg = _gelu_exact(h1)
+    mlp_out = _kdot(hg, w2, ((1,), (0,)), mxu) + b2
+    return x_mid + mlp_out, x_mid, out_m
+
+
+def _block_fwd_kernel(x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                      bqkv_ref, bproj_ref, b1_ref, b2_ref,
+                      wqkv_ref, wproj_ref, w1_ref, w2_ref,
+                      x_out_ref, x_mid_ref, out_ref, *,
+                      num_heads, head_dim, scale, eps, mxu, attn_mxu):
+    x_out, x_mid, out_m = _block_fwd_math(
+        x_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
+        bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
+        wqkv_ref[:], wproj_ref[:], w1_ref[:], w2_ref[:],
+        num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
+        mxu=mxu, attn_mxu=attn_mxu)
+    x_out_ref[:] = x_out
+    x_mid_ref[:] = x_mid
+    out_ref[:] = out_m
+
+
+def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
+                   mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
+                   use_pallas: Optional[bool] = None,
+                   interpret: bool = False):
+    """ONE kernel for a full ViT block forward; returns
+    (x_out, x_mid, out_merged) — the fused reverse pass's three anchors."""
+    scale = head_dim ** -0.5
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, D = x.shape
+    dt = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    bqkv = bp["qkv"].get("bias")
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * D,), dt)
+    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
+    flat = (x.astype(dt),
+            bp["norm1"]["scale"][None].astype(dt),
+            bp["norm1"]["bias"][None].astype(dt),
+            bp["norm2"]["scale"][None].astype(dt),
+            bp["norm2"]["bias"][None].astype(dt),
+            bqkv[None].astype(dt), bp["proj"]["bias"][None].astype(dt),
+            bp["fc1"]["bias"][None].astype(dt),
+            bp["fc2"]["bias"][None].astype(dt),
+            bp["qkv"]["kernel"].astype(wdt), bp["proj"]["kernel"].astype(wdt),
+            bp["fc1"]["kernel"].astype(wdt), bp["fc2"]["kernel"].astype(wdt))
+    if not use_pallas and not interpret:
+        return _block_fwd_math(*flat, num_heads=num_heads, head_dim=head_dim,
+                               scale=scale, eps=eps, mxu=mxu,
+                               attn_mxu=attn_mxu)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        functools.partial(_block_fwd_kernel, num_heads=num_heads,
+                          head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
+                          attn_mxu=attn_mxu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, D), dt),
+                   jax.ShapeDtypeStruct((n, D), dt),
+                   jax.ShapeDtypeStruct((n, D), dt)],
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(*flat)
