@@ -71,7 +71,10 @@ def main():
     relprop_precision = os.environ.get("BENCH_RELPROP_PRECISION", "bfloat16")
     if relprop_precision in ("", "none"):
         relprop_precision = None
-    attn_precision = os.environ.get("BENCH_ATTN_PRECISION", "")
+    # the attention island (QK^T/AV + their backward) stays f32-HIGHEST by
+    # default: vs-f64 ground truth it halves the rate of chaos-sample flips
+    # at ~zero cost (the attention dots are a small FLOP share) — PERF.md
+    attn_precision = os.environ.get("BENCH_ATTN_PRECISION", "float32")
     if attn_precision in ("", "none"):
         attn_precision = None
     cfg = VIT_BASE_16_224

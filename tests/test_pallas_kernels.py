@@ -307,3 +307,75 @@ def test_block_fwd_core_interpret_matches_vit_blocks():
                                    rtol=1e-9, atol=1e-12)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_kdot_tensorfloat32_precision_sandwich():
+    """Emulated tf32 (bf16x3) is far closer to f32 than 1-pass bf16, for
+    plain operands and for pre-split (hi, lo) weight pairs alike."""
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        _kdot, _split_hi_lo)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(128, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 128).astype(np.float32))
+    exact = np.asarray(_kdot(a, w, ((1,), (0,)), "float32"))
+
+    def relerr(y):
+        return np.abs(np.asarray(y) - exact).max() / np.abs(exact).max()
+
+    e_tf32 = relerr(_kdot(a, w, ((1,), (0,)), "tensorfloat32"))
+    e_pair = relerr(_kdot(a, _split_hi_lo(w), ((1,), (0,)), "tensorfloat32"))
+    e_bf16 = relerr(_kdot(a, w, ((1,), (0,)), "bfloat16"))
+    assert e_tf32 < 1e-4 and e_pair < 1e-4, (e_tf32, e_pair)
+    assert e_bf16 > 20 * max(e_tf32, e_pair)
+    # a bf16 dot against a pair uses the hi half == casting the weight
+    got = _kdot(a, _split_hi_lo(w), ((1,), (0,)), "bfloat16")
+    want = _kdot(a, w, ((1,), (0,)), "bfloat16")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_kabs_pair_matches_abs():
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        _kabs, _split_hi_lo)
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    hi, lo = _kabs(_split_hi_lo(w))
+    # the pair encodes w to ~2x-bf16 (16-bit-mantissa) accuracy; the abs
+    # decomposition must reconstruct |w| to the same accuracy (in particular
+    # the lo sign flip must be right — a wrong sign costs a full ulp(hi))
+    np.testing.assert_allclose(
+        np.asarray(hi.astype(jnp.float32) + lo.astype(jnp.float32)),
+        np.abs(np.asarray(w)), rtol=2e-5, atol=1e-7)
+
+
+def test_block_rev_core_tf32_interpret_close_to_f32():
+    """The tf32 megakernel (paired weights) tracks the exact-f32 unfused
+    reverse step to tf32-grade accuracy in interpret mode."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        block_rev_core)
+    from transformer_explainability_tpu.models import vit as vit_mod
+    cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                            depth=1, num_heads=4, num_classes=4)
+    params = vit_mod.init_params(jax.random.PRNGKey(5), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+    rng = np.random.RandomState(11)
+    n, D = cfg.num_tokens, cfg.embed_dim
+    x_in = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    x_mid, _, acts = vit_mod._block_acts(x_in, bp, cfg)
+    g_out = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    R = jnp.asarray(rng.randn(n, D).astype(np.float32))
+
+    want = block_rev_core(x_in, x_mid, acts.out_merged, g_out, R, bp,
+                          cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                          mxu="float32", attn_mxu="float32",
+                          rule_mxu="float32", use_pallas=True,
+                          interpret=True)
+    got = block_rev_core(x_in, x_mid, acts.out_merged, g_out, R, bp,
+                         cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                         mxu="tensorfloat32", attn_mxu="tensorfloat32",
+                         rule_mxu="tensorfloat32", use_pallas=True,
+                         interpret=True)
+    for g, w, name in zip(got, want, ["g_in", "R_in", "gc"]):
+        denom = np.abs(np.asarray(w)).max()
+        err = np.abs(np.asarray(g) - np.asarray(w)).max() / denom
+        assert err < 5e-3, (name, err)

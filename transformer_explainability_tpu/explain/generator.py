@@ -197,12 +197,13 @@ class Explainer:
 
     def __init__(self, params, cfg: ViTConfig, variant: str = "ours",
                  matmul_precision: str = "float32",
-                 relprop_precision=None):
+                 relprop_precision=None, attn_precision=None):
         self.params = params
         self.cfg = cfg
         self.variant = variant
         self.matmul_precision = matmul_precision
         self.relprop_precision = relprop_precision
+        self.attn_precision = attn_precision
         self._fns = {}
 
     def _fn(self, method, start_layer, is_ablation, alpha):
@@ -210,7 +211,8 @@ class Explainer:
         if key not in self._fns:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, is_ablation, alpha,
-                self.variant, self.matmul_precision, self.relprop_precision)
+                self.variant, self.matmul_precision, self.relprop_precision,
+                self.attn_precision)
         return self._fns[key]
 
     def explain(self, images, indices: Optional[np.ndarray] = None,

@@ -27,6 +27,7 @@ All public functions are single-example (image ``(C,H,W)``); batch via vmap.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -38,13 +39,23 @@ from transformer_explainability_tpu.ops import pallas_kernels as pk
 Array = jax.Array
 Params = Dict[str, Any]
 
+# A/B escape hatch: force the smaller attention/MLP kernels + XLA glue
+# instead of the whole-block megakernels (perf/fidelity triage).
+_NO_BLOCK_KERNEL = os.environ.get("TE_TPU_NO_BLOCK_KERNEL", "") == "1"
+
 
 def _mxu_name(precision: Optional[str], default: str = "float32") -> str:
     """Map a jax matmul-precision string to the Pallas kernels' per-dot MXU
-    mode: bf16 stays bf16; f32/tf32 run float32-HIGHEST (Mosaic has no tf32
-    pass)."""
+    mode: bf16 stays bf16 (1-pass); tf32 runs the kernels' 3-pass bf16×3
+    split emulation (Mosaic has no native tf32 pass — this is the same
+    algorithm XLA's tensorfloat32 lowers to on TPU); f32 runs
+    float32-HIGHEST (6-pass)."""
     p = precision if precision is not None else default
-    return "bfloat16" if p == "bfloat16" else "float32"
+    if p == "bfloat16":
+        return "bfloat16"
+    if p == "tensorfloat32":
+        return "tensorfloat32"
+    return "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,12 +297,13 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
         assert taps is None, "taps are not supported on the kernel path"
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
 
-        if matmul_precision == "bfloat16":
+        if (matmul_precision in ("bfloat16", "tensorfloat32")
+                and not _NO_BLOCK_KERNEL):
             # whole-block forward megakernel (one Pallas program per block)
             def step_lite(x, bp):
                 x_out, x_mid, out_merged = pk.block_fwd_core(
                     x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
-                    mxu="bfloat16", attn_mxu=fwd_mxu)
+                    mxu=matmul_precision, attn_mxu=fwd_mxu)
                 return x_out, (x, x_mid, out_merged)
         else:
             def step_lite(x, bp):
@@ -599,15 +611,17 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         assert fuse_grad_cam, "the kernel path implements the fused method"
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
-        # the MLP/whole-block kernels have no tf32 dots (Mosaic), and their
-        # f32 forms (resident f32 weights + |W| temps) overflow scoped VMEM —
-        # bf16 mode only
-        use_mlp_kernel = (matmul_precision == "bfloat16"
+        # the MLP/whole-block kernels run bf16 (1-pass) or emulated-tf32
+        # (3-pass bf16×3 weight pairs) dots; their f32-HIGHEST forms
+        # (resident f32 weights + |W| temps) overflow scoped VMEM
+        kernel_modes = (("bfloat16",) if _NO_BLOCK_KERNEL
+                        else ("bfloat16", "tensorfloat32"))
+        use_mlp_kernel = (matmul_precision in kernel_modes
                           and variant == "ours" and alpha == 1.0)
         # whole-block megakernel: ONE Pallas program per (sample, block) for
         # the entire reverse step (per-program fixed cost dominates the
         # smaller kernels — PERF.md)
-        use_block_kernel = use_mlp_kernel
+        use_block_kernel = use_mlp_kernel and not _NO_BLOCK_KERNEL
         mlp_mxu = _mxu_name(None, matmul_precision)
         scale = cfg.head_dim ** -0.5
 

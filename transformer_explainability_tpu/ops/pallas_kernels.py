@@ -146,18 +146,65 @@ def _vmem_params(interpret: bool):
     return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
+def _split_hi_lo(x):
+    """bf16 head/tail decomposition: x ≈ hi + lo with hi = bf16-rne(x).
+
+    The head is computed with integer bit tricks (round-to-nearest-even into
+    the top 16 bits), NOT via an f32→bf16→f32 convert round-trip: this
+    program compiles under ``--xla_allow_excess_precision=true``, which folds
+    ``convert(convert(x, bf16), f32) -> x`` — turning the residual into zero
+    and silently degrading the 3-pass tf32 emulation to 1-pass bf16."""
+    xf = x.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    rne = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    hi_f32 = jax.lax.bitcast_convert_type(rne, jnp.float32)
+    # both casts below are exact (8-bit mantissas already) except lo's, which
+    # is a genuine rounding the compiler cannot fold away
+    return hi_f32.astype(jnp.bfloat16), (xf - hi_f32).astype(jnp.bfloat16)
+
+
+def _kabs(w):
+    """abs that understands (hi, lo) weight pairs: |hi + lo| decomposed as
+    (|hi|, sign(hi)·lo) — exact wherever sign(hi) == sign(w), i.e. everywhere
+    the 8-bit bf16 mantissa doesn't round w across zero (|lo| ≤ ulp(hi)/2,
+    so a sign flip needs hi == 0, where both parts are ~denormal anyway).
+    The sign test compares in f32 — Mosaic has no bf16 vector compare."""
+    if isinstance(w, tuple):
+        hi, lo = w
+        return jnp.abs(hi), jnp.where(hi.astype(jnp.float32) < 0, -lo, lo)
+    return jnp.abs(w)
+
+
 def _kdot(a, b, dims, mxu: str):
-    """dot_general with f32 accumulation; operand dtype selects MXU passes.
+    """dot_general with f32 accumulation; ``mxu`` selects the MXU passes:
+    "bfloat16" (1-pass), "tensorfloat32" (3-pass bf16×3 split emulation —
+    Mosaic has no native tf32), or "float32" (HIGHEST, 6-pass). ``b`` may be
+    a pre-split (hi, lo) bf16 pair (weights): bf16 dots then use ``hi``
+    alone (== casting the f32 weight), tf32 dots use the pair directly.
     (f64 operands — interpret-mode tests only — keep f64 accumulation.)"""
-    acc = a.dtype if a.dtype == jnp.float64 else jnp.float32
-    if mxu == "bfloat16":
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+    paired = isinstance(b, tuple)
+    a_dt = a.dtype
+    acc = a_dt if a_dt == jnp.float64 else jnp.float32
+
+    def d(x, y):
         # pin DEFAULT: the ambient tf32 (HIGH) context would otherwise leak
         # in, and Mosaic implements only DEFAULT/HIGHEST
-        return jax.lax.dot_general(a, b, (dims, ((), ())),
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
                                    preferred_element_type=acc,
                                    precision=jax.lax.Precision.DEFAULT)
+
+    if mxu == "bfloat16":
+        return d(a.astype(jnp.bfloat16),
+                 b[0] if paired else b.astype(jnp.bfloat16))
+    if mxu == "tensorfloat32":
+        # XLA's tf32-on-TPU algorithm (bf16_3x): drop only the lo·lo term
+        a_hi, a_lo = _split_hi_lo(a.astype(jnp.float32) if a_dt
+                                  == jnp.float64 else a)
+        b_hi, b_lo = b if paired else _split_hi_lo(
+            b.astype(jnp.float32) if b.dtype == jnp.float64 else b)
+        return (d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))).astype(acc)
+    assert not paired, "HIGHEST dots take unsplit operands"
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=acc,
                                precision=jax.lax.Precision.HIGHEST)
@@ -434,7 +481,7 @@ def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
     # |W| is recomputed in VMEM per invocation (a VPU pass) rather than
     # passed in — resident weight copies are what overflow scoped VMEM.
     ahg = jnp.abs(hg)
-    aw2 = jnp.abs(w2)
+    aw2 = _kabs(w2)
     axw2 = _kdot(ahg, aw2, ((1,), (0,)), rule_mxu)
     Sr = _ksafe_divide(Cb, half * (fc2_pre + axw2))
     R2 = half * (hg * _kdot(Sr, w2, ((1,), (1,)), rule_mxu)
@@ -442,7 +489,7 @@ def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
 
     # fc1 α-β rule (y_pre = fc1_pre)
     axn2 = jnp.abs(xn2)
-    aw1 = jnp.abs(w1)
+    aw1 = _kabs(w1)
     axw1 = _kdot(axn2, aw1, ((1,), (0,)), rule_mxu)
     S1 = _ksafe_divide(R2, half * (fc1_pre + axw1))
     R2b = half * (xn2 * _kdot(S1, w1, ((1,), (1,)), rule_mxu)
@@ -453,13 +500,20 @@ def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
     return g_mid, Rm
 
 
-def _mlp_rev_kernel(x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
-                    b1_ref, b2_ref, w1_ref, w2_ref,
-                    g_mid_ref, Rm_ref, *, eps: float, mxu: str,
-                    rule_mxu: str):
+def _mlp_rev_kernel(*refs, eps: float, mxu: str, rule_mxu: str,
+                    paired: bool):
+    (x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
+     b1_ref, b2_ref) = refs[:7]
+    g_mid_ref, Rm_ref = refs[-2:]
+    w_refs = refs[7:-2]
+    if paired:
+        w1 = (w_refs[0][:], w_refs[1][:])
+        w2 = (w_refs[2][:], w_refs[3][:])
+    else:
+        w1, w2 = w_refs[0][:], w_refs[1][:]
     g_mid, Rm = _mlp_rev_math(
         x_mid_ref[:], g_out_ref[:], R_ref[:], ln_s_ref[:], ln_b_ref[:],
-        b1_ref[:], b2_ref[:], w1_ref[:], w2_ref[:],
+        b1_ref[:], b2_ref[:], w1, w2,
         eps=eps, mxu=mxu, rule_mxu=rule_mxu)
     g_mid_ref[:] = g_mid
     Rm_ref[:] = Rm
@@ -517,13 +571,14 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
     n, D = x_mid.shape
     dt = jnp.float64 if x_mid.dtype == jnp.float64 else jnp.float32
-    # weights enter in the *forward* dot dtype; rule-side casts/abs happen
-    # in VMEM (_kdot casts per dot when rule_mxu is bfloat16)
-    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
+    # weights enter in the *forward* dot dtype (or as (hi, lo) bf16 pairs
+    # for emulated tf32); rule-side casts/abs happen in VMEM
+    w_flat, paired = _flatten_weights(
+        [bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
     outs = pl.pallas_call(
         functools.partial(_mlp_rev_kernel, eps=eps, mxu=mxu,
-                          rule_mxu=rule_mxu),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+                          rule_mxu=rule_mxu, paired=paired),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt)],
@@ -532,7 +587,7 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
     )(x_mid.astype(dt), g_out.astype(dt), R.astype(dt),
       ln["scale"][None].astype(dt), ln["bias"][None].astype(dt),
       bp["fc1"]["bias"][None].astype(dt), bp["fc2"]["bias"][None].astype(dt),
-      bp["fc1"]["kernel"].astype(wdt), bp["fc2"]["kernel"].astype(wdt))
+      *w_flat)
     return outs[0], outs[1]
 
 
@@ -573,7 +628,7 @@ def _linear_rule_math(x, w, R, y_pre, rule_mxu):
     dt = x.dtype
     half = jnp.asarray(0.5, dt)
     ax = jnp.abs(x)
-    aw = jnp.abs(w)
+    aw = _kabs(w)
     axw = _kdot(ax, aw, ((1,), (0,)), rule_mxu)
     S = _ksafe_divide(R, half * (y_pre + axw))
     return half * (x * _kdot(S, w, ((1,), (1,)), rule_mxu)
@@ -655,18 +710,46 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
     return g_in, R_in, gc
 
 
-def _block_rev_kernel(x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
-                      ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-                      bqkv_ref, bproj_ref, b1_ref, b2_ref,
-                      wqkv_ref, wproj_ref, w1_ref, w2_ref,
-                      g_in_ref, R_in_ref, gc_ref, *,
-                      num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      rule_mxu):
+def _read_weight_refs(w_refs, paired: bool):
+    """Materialize kernel weight refs: 4 plain arrays, or — in the emulated
+    tf32 mode — 4 (hi, lo) bf16 pairs flattened to 8 refs."""
+    if paired:
+        return tuple((w_refs[i][:], w_refs[i + 1][:]) for i in range(0, 8, 2))
+    return tuple(w_refs[i][:] for i in range(4))
+
+
+def _flatten_weights(ws, mxu: str):
+    """Wrapper-side inverse of :func:`_read_weight_refs`: cast weights to the
+    forward dot dtype (bf16 1-pass / f32 HIGHEST), or pre-split each into a
+    (hi, lo) bf16 pair for the 3-pass tf32 emulation."""
+    if mxu == "tensorfloat32":
+        flat = []
+        for w in ws:
+            flat.extend(_split_hi_lo(w.astype(jnp.float32)))
+        return flat, True
+    wdt = jnp.bfloat16 if mxu == "bfloat16" else (
+        jnp.float64 if ws[0].dtype == jnp.float64 else jnp.float32)
+    return [w.astype(wdt) for w in ws], False
+
+
+def _pair_weights(flat, paired: bool):
+    if paired:
+        return tuple((flat[i], flat[i + 1]) for i in range(0, 8, 2))
+    return tuple(flat)
+
+
+def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
+                      rule_mxu, paired):
+    (x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
+     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:13]
+    g_in_ref, R_in_ref, gc_ref = refs[-3:]
+    wqkv, wproj, w1, w2 = _read_weight_refs(refs[13:-3], paired)
     g_in, R_in, gc = _block_rev_math(
         x_in_ref[:], x_mid_ref[:], out_ref[:], g_out_ref[:], R_ref[:],
         ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
-        wqkv_ref[:], wproj_ref[:], w1_ref[:], w2_ref[:],
+        wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
         mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
     g_in_ref[:] = g_in
@@ -684,9 +767,10 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
     (variant="ours", α=1): returns (g_in, R_in, gc (n, n)).
 
     ``bp``: the block params dict (norm1/norm2/qkv/proj/fc1/fc2). Weights
-    enter pre-cast to the forward dot dtype; rule-side abs/casts happen in
-    VMEM. bf16 mode only on real hardware (f32 weights overflow scoped
-    VMEM); the jnp fallback (and interpret mode) is dtype-exact.
+    enter pre-cast to the forward dot dtype — bf16 arrays (1-pass), (hi, lo)
+    bf16 pairs (3-pass tf32 emulation), or f32 (HIGHEST; overflows scoped
+    VMEM on real hardware — interpret/tests only). Rule-side abs/casts happen
+    in VMEM. The jnp fallback (and interpret mode) is dtype-exact.
     """
     scale = head_dim ** -0.5
     if use_pallas is None:
@@ -704,15 +788,15 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         bqkv=bqkv[None].astype(dt), bproj=bp["proj"]["bias"][None].astype(dt),
         b1=bp["fc1"]["bias"][None].astype(dt),
         b2=bp["fc2"]["bias"][None].astype(dt))
-    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
-    ws = dict(wqkv=bp["qkv"]["kernel"].astype(wdt),
-              wproj=bp["proj"]["kernel"].astype(wdt),
-              w1=bp["fc1"]["kernel"].astype(wdt),
-              w2=bp["fc2"]["kernel"].astype(wdt))
+    w_flat, paired = _flatten_weights(
+        [bp["qkv"]["kernel"], bp["proj"]["kernel"],
+         bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
     if not use_pallas and not interpret:
+        wqkv, wproj, w1, w2 = _pair_weights(w_flat, paired)
         return _block_rev_math(
             x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt),
-            g_out.astype(dt), R.astype(dt), **args, **ws,
+            g_out.astype(dt), R.astype(dt), **args,
+            wqkv=wqkv, wproj=wproj, w1=w1, w2=w2,
             num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
             mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
     import jax.experimental.pallas as pl
@@ -720,8 +804,9 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
     return pl.pallas_call(
         functools.partial(_block_rev_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
-                          attn_mxu=attn_mxu, rule_mxu=rule_mxu),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
+                          attn_mxu=attn_mxu, rule_mxu=rule_mxu,
+                          paired=paired),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (13 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt),
@@ -730,8 +815,7 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         interpret=interpret,
     )(x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt), g_out.astype(dt),
       R.astype(dt), args["ln1s"], args["ln1b"], args["ln2s"], args["ln2b"],
-      args["bqkv"], args["bproj"], args["b1"], args["b2"],
-      ws["wqkv"], ws["wproj"], ws["w1"], ws["w2"])
+      args["bqkv"], args["bproj"], args["b1"], args["b2"], *w_flat)
 
 
 # ---------------------------------------------------------------------------
@@ -764,15 +848,16 @@ def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
     return x_mid + mlp_out, x_mid, out_m
 
 
-def _block_fwd_kernel(x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-                      bqkv_ref, bproj_ref, b1_ref, b2_ref,
-                      wqkv_ref, wproj_ref, w1_ref, w2_ref,
-                      x_out_ref, x_mid_ref, out_ref, *,
-                      num_heads, head_dim, scale, eps, mxu, attn_mxu):
+def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
+                      paired):
+    (x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:9]
+    x_out_ref, x_mid_ref, out_ref = refs[-3:]
+    wqkv, wproj, w1, w2 = _read_weight_refs(refs[9:-3], paired)
     x_out, x_mid, out_m = _block_fwd_math(
         x_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
-        wqkv_ref[:], wproj_ref[:], w1_ref[:], w2_ref[:],
+        wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
         mxu=mxu, attn_mxu=attn_mxu)
     x_out_ref[:] = x_out
@@ -794,7 +879,9 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
     bqkv = bp["qkv"].get("bias")
     if bqkv is None:
         bqkv = jnp.zeros((3 * D,), dt)
-    wdt = jnp.bfloat16 if mxu == "bfloat16" else dt
+    w_flat, paired = _flatten_weights(
+        [bp["qkv"]["kernel"], bp["proj"]["kernel"],
+         bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
     flat = (x.astype(dt),
             bp["norm1"]["scale"][None].astype(dt),
             bp["norm1"]["bias"][None].astype(dt),
@@ -802,11 +889,11 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
             bp["norm2"]["bias"][None].astype(dt),
             bqkv[None].astype(dt), bp["proj"]["bias"][None].astype(dt),
             bp["fc1"]["bias"][None].astype(dt),
-            bp["fc2"]["bias"][None].astype(dt),
-            bp["qkv"]["kernel"].astype(wdt), bp["proj"]["kernel"].astype(wdt),
-            bp["fc1"]["kernel"].astype(wdt), bp["fc2"]["kernel"].astype(wdt))
+            bp["fc2"]["bias"][None].astype(dt))
     if not use_pallas and not interpret:
-        return _block_fwd_math(*flat, num_heads=num_heads, head_dim=head_dim,
+        wqkv, wproj, w1, w2 = _pair_weights(w_flat, paired)
+        return _block_fwd_math(*flat, wqkv, wproj, w1, w2,
+                               num_heads=num_heads, head_dim=head_dim,
                                scale=scale, eps=eps, mxu=mxu,
                                attn_mxu=attn_mxu)
     import jax.experimental.pallas as pl
@@ -814,12 +901,12 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
     return pl.pallas_call(
         functools.partial(_block_fwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
-                          attn_mxu=attn_mxu),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+                          attn_mxu=attn_mxu, paired=paired),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt)],
         compiler_params=_vmem_params(interpret),
         interpret=interpret,
-    )(*flat)
+    )(*flat, *w_flat)
