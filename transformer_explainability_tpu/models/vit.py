@@ -262,9 +262,18 @@ class Residuals(NamedTuple):
 
 def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
     """Patchify-matmul embedding + CLS (and optional DIST) concat; returns
-    (cat_x, x0)."""
+    (cat_x, x0).
+
+    The patch matmul is pinned to f32-HIGHEST regardless of the ambient
+    matmul precision: x0 roots every downstream chain, and the explain
+    program is measurably knife-edge to ~1e-5 x0 perturbations on
+    ill-conditioned inputs (a tf32 embed flipped whole catdog heatmaps while
+    the same pipeline rooted at an f32 embed was stable — PERF.md round 2b).
+    The matmul is ~0.6% of forward FLOPs, so the pin is free."""
     patches = rp.patchify(img, cfg.patch_size)
-    tok = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    tok = (jnp.matmul(patches, params["patch_embed"]["kernel"],
+                      precision=jax.lax.Precision.HIGHEST)
+           + params["patch_embed"]["bias"])
     prefix = [params["cls_token"]]
     if cfg.distilled:
         prefix.append(params["dist_token"])
@@ -299,12 +308,22 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
 
         if (matmul_precision in ("bfloat16", "tensorfloat32")
                 and not _NO_BLOCK_KERNEL):
-            # whole-block forward megakernel (one Pallas program per block)
-            def step_lite(x, bp):
+            # whole-block forward megakernel (one Pallas program per block).
+            # Weights are pre-cast/pre-split ONCE outside the scan and fed
+            # through the scan's xs — load-bearing for correctness on this
+            # toolchain (see pk.prepare_block_weights).
+            w_prep = pk.prepare_block_weights(params["blocks"],
+                                              matmul_precision)
+
+            def step_fused(x, xs):
+                bp, ws = xs
                 x_out, x_mid, out_merged = pk.block_fwd_core(
                     x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
-                    mxu=matmul_precision, attn_mxu=fwd_mxu)
+                    mxu=matmul_precision, attn_mxu=fwd_mxu, ws=ws)
                 return x_out, (x, x_mid, out_merged)
+
+            x_final, (x_ins, x_mids, outs) = jax.lax.scan(
+                step_fused, x0, (params["blocks"], w_prep), unroll=unroll)
         else:
             def step_lite(x, bp):
                 xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
@@ -323,8 +342,8 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                            @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
                 return x_mid + mlp_out, (x, x_mid, out_merged)
 
-        x_final, (x_ins, x_mids, outs) = jax.lax.scan(
-            step_lite, x0, params["blocks"], unroll=unroll)
+            x_final, (x_ins, x_mids, outs) = jax.lax.scan(
+                step_lite, x0, params["blocks"], unroll=unroll)
         attns = None
     else:
         @jax.checkpoint
@@ -626,19 +645,25 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         scale = cfg.head_dim ** -0.5
 
         if use_block_kernel:
+            # weights pre-cast/pre-split ONCE outside the scan — see
+            # pk.prepare_block_weights (correctness-critical on this
+            # toolchain, not just faster)
+            w_prep = pk.prepare_block_weights(params["blocks"], mlp_mxu)
+
             def kstep_block(carry, xs):
                 g_out, Rc = carry
-                x_in, x_mid, out_m, bp = xs
+                x_in, x_mid, out_m, bp, ws = xs
                 g_in, R_in, gc = pk.block_rev_core(
                     x_in, x_mid, out_m, g_out, Rc, bp,
                     cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
-                    mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+                    mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
+                    ws=ws)
                 return (g_in, R_in), (gc,)
 
             assert res.outs is not None
             (g0, R_tokens), (gc_maps,) = jax.lax.scan(
                 kstep_block, (g_final, R),
-                (res.x_ins, res.x_mids, res.outs, params["blocks"]),
+                (res.x_ins, res.x_mids, res.outs, params["blocks"], w_prep),
                 reverse=True, unroll=unroll)
             return R_tokens, gc_maps, None
 

@@ -691,8 +691,14 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
 
     g_om = _kdot(g_mid, wproj, ((1,), (1,)), mxu)
 
-    # add1 split (Z = x_mid, the stored residual boundary) + proj rule
-    Ra1, Ra2 = _add_rule_math(x_in, attn_out, Rm, Z=x_mid)
+    # add1 split + proj rule. Z is recomputed as x_in + attn_out IN-KERNEL
+    # (not the saved x_mid anchor): the rule's S = R/Z ⊙ {a, b} assumes
+    # a + b == Z *bitwise* — with the saved anchor, the kernel's own proj
+    # recompute differs from the forward kernel's by an ulp-level δ, and
+    # S amplifies δ unboundedly wherever x_mid ≈ 0 elementwise (measured:
+    # a ≤1.2e-4 anchor-vs-recompute mismatch flipped whole catdog heatmaps
+    # while the bitwise-consistent XLA path was stable — PERF.md round 2b)
+    Ra1, Ra2 = _add_rule_math(x_in, attn_out, Rm)
     cam_o = _linear_rule_math(out_m, wproj, Ra2, proj_pre, rule_mxu)
 
     # attention core
@@ -738,6 +744,24 @@ def _pair_weights(flat, paired: bool):
     return tuple(flat)
 
 
+def prepare_block_weights(blocks: dict, mxu: str):
+    """Pre-cast / pre-split the STACKED (L, ...) block weights once, outside
+    the scan. The per-step path then feeds plain arrays to the kernels.
+
+    This is load-bearing for correctness, not just speed: doing the tf32
+    RNE bit-trick split inside the scan body makes XLA build
+    slice+bitcast fusions feeding the pallas custom-calls, a pattern this
+    toolchain's TPU compiler mis-handles (scoped-vmem "should not be
+    possible" errors on some program shapes, and silently wrong values in
+    the final reverse-scan steps of the fused explain program — see
+    PERF.md round 2b).
+    """
+    ws = [blocks["qkv"]["kernel"], blocks["proj"]["kernel"],
+          blocks["fc1"]["kernel"], blocks["fc2"]["kernel"]]
+    flat, _ = _flatten_weights(ws, mxu)
+    return tuple(flat)
+
+
 def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
                       rule_mxu, paired):
     (x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
@@ -762,7 +786,8 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
                    mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
                    rule_mxu: str = "bfloat16",
                    use_pallas: Optional[bool] = None,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   ws: Optional[tuple] = None):
     """ONE kernel for the entire fused reverse step of a ViT block
     (variant="ours", α=1): returns (g_in, R_in, gc (n, n)).
 
@@ -771,6 +796,10 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
     bf16 pairs (3-pass tf32 emulation), or f32 (HIGHEST; overflows scoped
     VMEM on real hardware — interpret/tests only). Rule-side abs/casts happen
     in VMEM. The jnp fallback (and interpret mode) is dtype-exact.
+
+    ``ws``: this block's slice of :func:`prepare_block_weights` — prepared
+    OUTSIDE the scan. Callers scanning over blocks should always use it
+    (see the prepare_block_weights docstring for why).
     """
     scale = head_dim ** -0.5
     if use_pallas is None:
@@ -788,9 +817,12 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         bqkv=bqkv[None].astype(dt), bproj=bp["proj"]["bias"][None].astype(dt),
         b1=bp["fc1"]["bias"][None].astype(dt),
         b2=bp["fc2"]["bias"][None].astype(dt))
-    w_flat, paired = _flatten_weights(
-        [bp["qkv"]["kernel"], bp["proj"]["kernel"],
-         bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
+    if ws is not None:
+        w_flat, paired = list(ws), mxu == "tensorfloat32"
+    else:
+        w_flat, paired = _flatten_weights(
+            [bp["qkv"]["kernel"], bp["proj"]["kernel"],
+             bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
     if not use_pallas and not interpret:
         wqkv, wproj, w1, w2 = _pair_weights(w_flat, paired)
         return _block_rev_math(
@@ -868,9 +900,12 @@ def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
 def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                    mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
                    use_pallas: Optional[bool] = None,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   ws: Optional[tuple] = None):
     """ONE kernel for a full ViT block forward; returns
-    (x_out, x_mid, out_merged) — the fused reverse pass's three anchors."""
+    (x_out, x_mid, out_merged) — the fused reverse pass's three anchors.
+    ``ws``: this block's slice of :func:`prepare_block_weights` (callers
+    scanning over blocks should always pass it — see its docstring)."""
     scale = head_dim ** -0.5
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -879,9 +914,12 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
     bqkv = bp["qkv"].get("bias")
     if bqkv is None:
         bqkv = jnp.zeros((3 * D,), dt)
-    w_flat, paired = _flatten_weights(
-        [bp["qkv"]["kernel"], bp["proj"]["kernel"],
-         bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
+    if ws is not None:
+        w_flat, paired = list(ws), mxu == "tensorfloat32"
+    else:
+        w_flat, paired = _flatten_weights(
+            [bp["qkv"]["kernel"], bp["proj"]["kernel"],
+             bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
     flat = (x.astype(dt),
             bp["norm1"]["scale"][None].astype(dt),
             bp["norm1"]["bias"][None].astype(dt),
