@@ -379,3 +379,46 @@ def test_block_rev_core_tf32_interpret_close_to_f32():
         denom = np.abs(np.asarray(w)).max()
         err = np.abs(np.asarray(g) - np.asarray(w)).max() / denom
         assert err < 5e-3, (name, err)
+
+
+def test_block_rev_core_prepared_weights_match_inline():
+    """The prepare_block_weights -> ws plumbing (production scan path) is
+    numerically identical to in-call weight preparation."""
+    import jax
+    from transformer_explainability_tpu.ops import pallas_kernels as pk
+    from transformer_explainability_tpu.models import vit as vit_mod
+    cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                            depth=2, num_heads=4, num_classes=4)
+    params = vit_mod.init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(3)
+    n, D = cfg.num_tokens, cfg.embed_dim
+    for mxu in ["tensorfloat32", "bfloat16"]:
+        prep = pk.prepare_block_weights(params["blocks"], mxu)
+        for i in range(cfg.depth):
+            bp = jax.tree.map(lambda a: a[i], params["blocks"])
+            ws = tuple(w[i] for w in prep)
+            x_in = jnp.asarray(rng.randn(n, D).astype(np.float32))
+            x_mid, _, acts = vit_mod._block_acts(x_in, bp, cfg)
+            g_out = jnp.asarray(rng.randn(n, D).astype(np.float32))
+            R = jnp.asarray(rng.randn(n, D).astype(np.float32))
+            kw = dict(mxu=mxu, attn_mxu="float32", rule_mxu="bfloat16",
+                      use_pallas=True, interpret=True)
+            got = pk.block_rev_core(x_in, x_mid, acts.out_merged, g_out, R,
+                                    bp, cfg.num_heads, cfg.head_dim,
+                                    cfg.block_ln_eps, ws=ws, **kw)
+            want = pk.block_rev_core(x_in, x_mid, acts.out_merged, g_out, R,
+                                     bp, cfg.num_heads, cfg.head_dim,
+                                     cfg.block_ln_eps, **kw)
+            for g, w, name in zip(got, want, ["g_in", "R_in", "gc"]):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                              err_msg=f"{mxu}/{name}")
+            gf = pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                                   cfg.block_ln_eps, mxu=mxu,
+                                   attn_mxu="float32", use_pallas=True,
+                                   interpret=True, ws=ws)
+            wf = pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                                   cfg.block_ln_eps, mxu=mxu,
+                                   attn_mxu="float32", use_pallas=True,
+                                   interpret=True)
+            for g, w in zip(gf, wf):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
