@@ -1,0 +1,134 @@
+"""BERT fused-layer Pallas kernels: equivalence vs layer_backward +
+layer_relprop (interpret mode on CPU; the real TPU path is exercised by the
+bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_explainability_tpu.models import bert as bert_mod
+from transformer_explainability_tpu.models.bert import BertConfig
+from transformer_explainability_tpu.ops import pallas_kernels as pk
+
+CFG = BertConfig(vocab_size=97, hidden_size=24, num_layers=3, num_heads=4,
+                 intermediate_size=48, max_position_embeddings=64,
+                 num_labels=4)
+
+
+def _layer_inputs(cfg, key=0, seed=6, S=21, masked=3):
+    params = bert_mod.init_params(jax.random.PRNGKey(key), cfg)
+    lp = jax.tree.map(lambda a: a[1], params["layers"])
+    rng = np.random.RandomState(seed)
+    mask = np.ones((S,), np.float32)
+    mask[S - masked:] = 0.0
+    ext_mask = jnp.asarray((1.0 - mask) * cfg.mask_value)
+    x_in = jnp.asarray(rng.randn(S, cfg.hidden_size).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(S, cfg.hidden_size).astype(np.float32))
+    R = jnp.asarray(rng.randn(S, cfg.hidden_size).astype(np.float32))
+    return params, lp, ext_mask, x_in, g_out, R
+
+
+def test_bert_rev_cores_interpret_match_layer_relprop():
+    """out_rev_core ∘ attn_rev_core == layer_backward + layer_relprop + the
+    fused (grad ⊙ cam)⁺ head-mean, in f64 (interpret mode)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _, lp32, ext_mask, x_in, g_out, R = _layer_inputs(CFG)
+        lp = jax.tree.map(lambda a: a.astype(jnp.float64), lp32)
+        x_in, g_out, R, ext_mask = (a.astype(jnp.float64)
+                                    for a in (x_in, g_out, R, ext_mask))
+        att_ln, _, acts = bert_mod._layer_acts(x_in, None, lp, ext_mask, CFG)
+
+        want_g_in, want_gprobs = bert_mod.layer_backward(
+            g_out, x_in, att_ln, acts, lp, CFG)
+        want_R_in, want_cam = bert_mod.layer_relprop(
+            R, x_in, att_ln, lp, ext_mask, CFG, 1.0, "ours", acts=acts)
+        want_gc = jnp.clip(want_gprobs * want_cam, min=0).mean(axis=0)
+
+        kw = dict(mxu="float32", rule_mxu="float32", use_pallas=True,
+                  interpret=True)
+        g_attln, R_att = pk.bert_out_rev_core(att_ln, g_out, R, lp,
+                                              CFG.layer_norm_eps, **kw)
+        got_g, got_R, got_gc = pk.bert_attn_rev_core(
+            x_in, g_attln, R_att, ext_mask, lp, CFG.num_heads, CFG.head_dim,
+            CFG.layer_norm_eps, attn_mxu="float32", **kw)
+        for g, w, name in [(got_g, want_g_in, "g_in"),
+                           (got_R, want_R_in, "R_in"),
+                           (got_gc, want_gc, "gc")]:
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_bert_fwd_core_interpret_matches_layer_acts():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _, lp32, ext_mask, x_in, _, _ = _layer_inputs(CFG, key=1, seed=7)
+        lp = jax.tree.map(lambda a: a.astype(jnp.float64), lp32)
+        x_in = x_in.astype(jnp.float64)
+        ext_mask = ext_mask.astype(jnp.float64)
+        want_attln, want_out, _ = bert_mod._layer_acts(x_in, None, lp,
+                                                       ext_mask, CFG)
+        got_out, got_attln = pk.bert_layer_fwd_core(
+            x_in, ext_mask, lp, CFG.num_heads, CFG.head_dim,
+            CFG.layer_norm_eps, mxu="float32", attn_mxu="float32",
+            use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_attln),
+                                   np.asarray(want_attln),
+                                   rtol=1e-9, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_bert_explain_kernel_path_matches_reference_path():
+    """explain_single(use_kernel=True) on CPU routes through the fused step
+    structure with the jnp fallback cores — must match the einsum path (same
+    math, different op grouping)."""
+    from transformer_explainability_tpu.explain.bert_generator import (
+        explain_single)
+    params = bert_mod.init_params(jax.random.PRNGKey(2), CFG)
+    rng = np.random.RandomState(8)
+    S = 24
+    ids = jnp.asarray(rng.randint(0, CFG.vocab_size, (S,)), jnp.int32)
+    mask = jnp.asarray((np.arange(S) < 20).astype(np.float32))
+    for sl in (CFG.num_layers - 1, 0):
+        a = np.asarray(jax.jit(
+            lambda p, i, m, ix: explain_single(p, i, m, ix, CFG,
+                                               start_layer=sl,
+                                               use_kernel=False))(
+            params, ids, mask, jnp.int32(1)))
+        b = np.asarray(jax.jit(
+            lambda p, i, m, ix: explain_single(p, i, m, ix, CFG,
+                                               start_layer=sl,
+                                               use_kernel=True))(
+            params, ids, mask, jnp.int32(1)))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
+
+
+def test_bert_prepared_weights_match_inline():
+    params, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=3, seed=9)
+    for mxu in ["tensorfloat32", "bfloat16"]:
+        prep = pk.prepare_bert_weights(params["layers"], mxu)
+        ws = tuple(w[1] for w in prep)
+        n4 = len(ws) // 6 * 4
+        kw = dict(mxu=mxu, rule_mxu="bfloat16", use_pallas=True,
+                  interpret=True)
+        att_ln, _, _ = bert_mod._layer_acts(x_in, None, lp, ext_mask, CFG)
+        got = pk.bert_out_rev_core(att_ln, g_out, R, lp, CFG.layer_norm_eps,
+                                   ws=ws[n4:], **kw)
+        want = pk.bert_out_rev_core(att_ln, g_out, R, lp,
+                                    CFG.layer_norm_eps, **kw)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        got = pk.bert_attn_rev_core(x_in, *want, ext_mask, lp, CFG.num_heads,
+                                    CFG.head_dim, CFG.layer_norm_eps,
+                                    attn_mxu="float32", ws=ws[:n4], **kw)
+        want2 = pk.bert_attn_rev_core(x_in, *want, ext_mask, lp,
+                                      CFG.num_heads, CFG.head_dim,
+                                      CFG.layer_norm_eps,
+                                      attn_mxu="float32", **kw)
+        for g, w in zip(got, want2):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -19,6 +19,16 @@ from transformer_explainability_tpu.ops import relprop as rp
 from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 # method -> (needs attention-grads, needs relprop)
+# Longest sequence the fused-kernel path auto-enables for (see
+# explain_single). All modes are validated end-to-end at S<=384. At S=512
+# the attn-rev kernel's unrolled head loop spills ~112 MB of vector
+# registers when the attention island runs multi-pass f32/tf32 dots
+# ("register allocator spill slots", 138-143 MB vs the 128 MB chip VMEM),
+# so only the 1-pass bf16 mode fits; it measures 288 expl/s at corr 0.996
+# vs CPU-f32 (B=8). Explicit ``use_kernel=True`` overrides both gates.
+KERNEL_MAX_SEQ = 384
+KERNEL_MAX_SEQ_BF16 = 512
+
 METHODS = {
     "transformer_attribution": (True, True),    # generate_LRP (:28-59)
     "last_layer": (False, True),                # generate_LRP_last_layer (:62)
@@ -38,15 +48,36 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                    method: str = "transformer_attribution",
                    start_layer: int = 11, alpha: float = 1.0,
                    variant: str = "ours",
-                   relprop_precision: Optional[str] = None):
+                   relprop_precision: Optional[str] = None,
+                   matmul_precision: str = "float32",
+                   attn_precision: Optional[str] = None,
+                   use_kernel: Optional[bool] = None):
     """Per-example BERT explanation. Returns an (S,) token-relevance row."""
     if method not in METHODS:
         raise ValueError(
             f"unknown method {method!r}; available: {sorted(METHODS)}")
     needs_grads, needs_relprop = METHODS[method]
 
+    # the headline method routes each layer through the fused Pallas cores
+    # on TPU in the reduced-precision modes (see bert.reverse_pass): the
+    # (L, h, S, S) probability/cam/grad tensors never reach HBM. Gated at
+    # S<=384: the attn-rev kernel's unrolled head loop fits scoped VMEM
+    # standalone at S=512 (127 MiB cap) but not under vmap's batch grid
+    # (double-buffered I/O); longer sequences keep the XLA path.
+    if use_kernel is None:
+        S_in = input_ids.shape[0]
+        all_bf16 = matmul_precision == "bfloat16" and attn_precision is None
+        use_kernel = (method == "transformer_attribution"
+                      and jax.default_backend() == "tpu"
+                      and (S_in <= KERNEL_MAX_SEQ
+                           or (S_in <= KERNEL_MAX_SEQ_BF16 and all_bf16))
+                      and matmul_precision in ("bfloat16", "tensorfloat32")
+                      and variant == "ours" and alpha == 1.0)
+    use_kernel = use_kernel and method == "transformer_attribution"
+
     logits, res = bert_mod.forward_collect(
-        params, input_ids, attention_mask, cfg)
+        params, input_ids, attention_mask, cfg, use_kernel=use_kernel,
+        matmul_precision=matmul_precision, attn_precision=attn_precision)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_labels)
         # fused reverse scan (bert.reverse_pass): gradients + relprop share
@@ -54,11 +85,15 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
         R_tokens, attn_cams, attn_grads = bert_mod.reverse_pass(
             params, res, onehot, cfg, alpha=alpha, variant=variant,
             need_grads=needs_grads, need_relprop=needs_relprop,
-            relprop_precision=relprop_precision)
+            relprop_precision=relprop_precision, use_kernel=use_kernel,
+            matmul_precision=matmul_precision, attn_precision=attn_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
     if method == "transformer_attribution":
+        # on the kernel path attn_cams is the pre-reduced (L, S, S)
+        # (grad ⊙ cam)⁺ head-mean and attn_grads is None — the rollout
+        # kernel accepts both layouts
         joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer,
                                          row_normalize=True)
         row = joint[0]
@@ -95,7 +130,8 @@ def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
                     start_layer: int = 11, alpha: float = 1.0,
                     variant: str = "ours",
                     matmul_precision: str = "float32",
-                    relprop_precision: Optional[str] = None):
+                    relprop_precision: Optional[str] = None,
+                    attn_precision: Optional[str] = None):
     """Jitted, vmapped ``fn(params, input_ids, attention_mask, indices)``.
 
     input_ids (B, S) int32; attention_mask (B, S); indices (B,) int32 with -1
@@ -108,7 +144,9 @@ def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, ids, mask, index, cfg, method,
                                   start_layer, alpha, variant,
-                                  relprop_precision)
+                                  relprop_precision,
+                                  matmul_precision=matmul_precision,
+                                  attn_precision=attn_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0)))
 
@@ -118,12 +156,14 @@ class BertExplainer:
 
     def __init__(self, params, cfg: BertConfig, variant: str = "ours",
                  matmul_precision: str = "float32",
-                 relprop_precision: Optional[str] = None):
+                 relprop_precision: Optional[str] = None,
+                 attn_precision: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.variant = variant
         self.matmul_precision = matmul_precision
         self.relprop_precision = relprop_precision
+        self.attn_precision = attn_precision
         self._fns = {}
 
     def explain(self, input_ids, attention_mask,
@@ -147,7 +187,8 @@ class BertExplainer:
         if key not in self._fns:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, alpha, self.variant,
-                self.matmul_precision, self.relprop_precision)
+                self.matmul_precision, self.relprop_precision,
+                self.attn_precision)
         Bp = bucket_size(B)
         out = self._fns[key](self.params, pad_axis0(ids, Bp),
                              pad_axis0(mask, Bp), pad_axis0(idx, Bp))

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from transformer_explainability_tpu.ops import relprop as rp
+from transformer_explainability_tpu.ops import pallas_kernels as pk
+from transformer_explainability_tpu.models.vit import _mxu_name
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -189,10 +191,20 @@ def embed(params: Params, input_ids: Array, token_type_ids: Array,
 def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
                     cfg: BertConfig, token_type_ids: Optional[Array] = None,
                     position_ids: Optional[Array] = None,
-                    taps: Optional[Array] = None
+                    taps: Optional[Array] = None,
+                    use_kernel: bool = False,
+                    matmul_precision: str = "float32",
+                    attn_precision: Optional[str] = None
                     ) -> Tuple[Array, Residuals]:
     """Per-example forward; input_ids (S,) int32, attention_mask (S,) {0,1}.
-    Returns (logits, residuals)."""
+    Returns (logits, residuals).
+
+    ``use_kernel``: run each layer as ONE fused Pallas program
+    (pk.bert_layer_fwd_core) saving only the two (S, D) anchors — the
+    (L, h, S, S) attention probabilities (151 MB per example at S=512) are
+    never materialized in HBM; ``Residuals.probs`` comes back None (the
+    kernel path only serves ``transformer_attribution``, which never reads
+    it). Requires ``taps is None``."""
     S = input_ids.shape[0]
     if token_type_ids is None:
         token_type_ids = jnp.zeros((S,), jnp.int32)
@@ -201,18 +213,42 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
     x0 = embed(params, input_ids, token_type_ids, position_ids, cfg)
     ext_mask = (1.0 - attention_mask.astype(x0.dtype)) * cfg.mask_value
 
-    @jax.checkpoint
-    def step(x, inp):
-        # remat: see vit.forward_collect — backward recomputes layer
-        # internals from the carried anchors.
-        lp, tap = inp
-        att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap)
-        return out, (x, att_ln, acts.probs)
+    if use_kernel:
+        assert taps is None, "taps are not supported on the kernel path"
+        fwd_mxu = _mxu_name(attn_precision, matmul_precision)
+        w_prep = pk.prepare_bert_weights(params["layers"], matmul_precision)
 
-    tap_seq = taps if taps is not None else jnp.zeros(
-        (cfg.num_layers, cfg.num_heads, S, S), x0.dtype)
-    seq_out, (x_ins, att_lns, probs) = jax.lax.scan(
-        step, x0, (params["layers"], tap_seq))
+        # Python-unrolled layer loop (like the ViT megakernel path): inside
+        # a lax.scan/while body XLA drops the pallas_call's vmem_limit_bytes
+        # and reverts to the 16 MiB scoped-VMEM default, which the fused
+        # kernels exceed ("Scoped allocation ... limit 16.00M" at S=512).
+        x, xs_l, atts_l = x0, [], []
+        for l in range(cfg.num_layers):
+            lp_l = jax.tree.map(lambda a: a[l], params["layers"])
+            ws_l = tuple(w[l] for w in w_prep)
+            out, att_ln = pk.bert_layer_fwd_core(
+                x, ext_mask, lp_l, cfg.num_heads, cfg.head_dim,
+                cfg.layer_norm_eps, mxu=matmul_precision, attn_mxu=fwd_mxu,
+                ws=ws_l)
+            xs_l.append(x)
+            atts_l.append(att_ln)
+            x = out
+        seq_out = x
+        x_ins, att_lns = jnp.stack(xs_l), jnp.stack(atts_l)
+        probs = None
+    else:
+        @jax.checkpoint
+        def step(x, inp):
+            # remat: see vit.forward_collect — backward recomputes layer
+            # internals from the carried anchors.
+            lp, tap = inp
+            att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap)
+            return out, (x, att_ln, acts.probs)
+
+        tap_seq = taps if taps is not None else jnp.zeros(
+            (cfg.num_layers, cfg.num_heads, S, S), x0.dtype)
+        seq_out, (x_ins, att_lns, probs) = jax.lax.scan(
+            step, x0, (params["layers"], tap_seq))
 
     first_tok = seq_out[0]
     pooled = jnp.tanh(first_tok @ params["pooler"]["kernel"]
@@ -414,12 +450,21 @@ def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: BertConfig, alpha: float = 1.0, variant: str = "ours",
                  need_grads: bool = True, need_relprop: bool = True,
-                 relprop_precision: Optional[str] = None
+                 relprop_precision: Optional[str] = None,
+                 use_kernel: bool = False,
+                 matmul_precision: str = "float32",
+                 attn_precision: Optional[str] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """Fused reverse scan: class gradient w.r.t. every post-softmax attention
     map + LRP relevance, sharing one recompute per layer (see
     :func:`transformer_explainability_tpu.models.vit.reverse_pass`).
-    Returns (R_tokens, attn_cams, attn_grads)."""
+    Returns (R_tokens, attn_cams, attn_grads).
+
+    ``use_kernel``: run each layer's reverse as two fused Pallas programs
+    (pk.bert_out_rev_core + pk.bert_attn_rev_core) with the per-layer
+    ``(grad ⊙ cam)⁺`` head-mean folded in; returns (R_tokens,
+    gc_maps (L, S, S), None) — 12× less scan-output HBM than stacking
+    cams+grads. Requires both need flags, variant="ours", alpha=1."""
     S = res.seq_out.shape[0]
     g_final = None
     if need_grads:
@@ -438,6 +483,32 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         R = rp.linear_alphabeta(res.first_tok, params["pooler"]["kernel"], R,
                                 alpha, variant)
         R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
+
+    if use_kernel:
+        assert need_grads and need_relprop and variant == "ours" \
+            and alpha == 1.0, "kernel path: fused method, ours rules only"
+        mxu = _mxu_name(None, matmul_precision)
+        attn_mxu = _mxu_name(attn_precision, matmul_precision)
+        rule_mxu = _mxu_name(relprop_precision, matmul_precision)
+        w_prep = pk.prepare_bert_weights(params["layers"], mxu)
+        nsplit = len(w_prep) // 6 * 4     # attn weights end here
+
+        # Python-unrolled reverse loop — see forward_collect: scan bodies
+        # lose the kernels' scoped-VMEM compiler param
+        g_out, Rc = g_final, R
+        gc_l = [None] * cfg.num_layers
+        for l in reversed(range(cfg.num_layers)):
+            lp_l = jax.tree.map(lambda a: a[l], params["layers"])
+            ws_l = tuple(w[l] for w in w_prep)
+            g_attln, R_att = pk.bert_out_rev_core(
+                res.att_lns[l], g_out, Rc, lp_l, cfg.layer_norm_eps,
+                mxu=mxu, rule_mxu=rule_mxu, ws=ws_l[nsplit:])
+            g_out, Rc, gc_l[l] = pk.bert_attn_rev_core(
+                res.x_ins[l], g_attln, R_att, res.ext_mask, lp_l,
+                cfg.num_heads, cfg.head_dim, cfg.layer_norm_eps,
+                mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
+                ws=ws_l[:nsplit])
+        return Rc, jnp.stack(gc_l), None
 
     def step(carry, xs):
         g_out, Rc = carry

@@ -136,14 +136,15 @@ def rollout_from_grad_cam(cams: jax.Array, grads: Optional[jax.Array] = None,
 _EPS = 1e-9
 
 
-def _vmem_params(interpret: bool):
+def _vmem_params(interpret: bool, mib: int = 96):
     # Raise the scoped-VMEM cap: the rev-core kernel's unrolled head loop
     # plus its (n, 3D) refs peaks ~20 MiB, above the 16 MiB default; v5e has
-    # 128 MiB of VMEM.
+    # 128 MiB of VMEM. The BERT attn-rev kernel at S=512 needs the full cap
+    # (Mosaic does not reuse stack VMEM across the unrolled head loop).
     if interpret:
         return None
     from jax.experimental.pallas import tpu as pltpu
-    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=mib * 1024 * 1024)
 
 
 def _split_hi_lo(x):
@@ -740,7 +741,8 @@ def _flatten_weights(ws, mxu: str):
 
 def _pair_weights(flat, paired: bool):
     if paired:
-        return tuple((flat[i], flat[i + 1]) for i in range(0, 8, 2))
+        return tuple((flat[i], flat[i + 1])
+                     for i in range(0, len(flat), 2))
     return tuple(flat)
 
 
@@ -948,3 +950,496 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
         compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(*flat, *w_flat)
+
+
+# ---------------------------------------------------------------------------
+# BERT encoder-layer kernels (post-norm architecture, masked attention).
+#
+# Same design as the ViT block kernels: the reverse step of one layer is
+# split into an output-block core (intermediate/out denses + final LN) and an
+# attention core (q/k/v, masked softmax, attn_out dense + post-attention LN),
+# each ONE Pallas program per (sample, layer) with every (S, I)/(h, S, S)
+# tensor VMEM-resident. This removes the reverse pass's dominant HBM
+# tensors: the saved (L, h, S, S) attention probabilities (151 MB per
+# example at S=512) and the stacked (L, h, S, S) cam+grad scan outputs —
+# the fused (grad ⊙ cam)⁺ head-mean leaves one (S, S) map per layer.
+#
+# The attention-mask Add rule (reference BERT.py:342 — relevance split
+# between scaled scores and the additive mask) renormalizes with GLOBAL
+# sums over the full (h, S, S) tensor; every downstream rule is linear in
+# its incoming relevance, so the renormalization is deferred to a scalar
+# λ applied after the head loop (no second pass over heads).
+#
+# Reference: BertSelfAttention.relprop BERT.py:367-409, BertLayer.relprop
+# :521-530; variant="ours", alpha=1 only (other configs keep the XLA path).
+# ---------------------------------------------------------------------------
+
+
+def _ln_bwd_math(g_y, x, s, eps):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + jnp.asarray(eps, x.dtype))
+    xhat = (x - mu) * inv
+    gg = g_y * s
+    return inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+
+
+def _bert_out_rev_math(att_ln, g_out, R, lns, lnb, b_i, b_o, wi, wo, *,
+                       eps, mxu, rule_mxu):
+    """Output sub-block reverse: LN(dense2 + att_ln) backward + the add
+    split, both Linear rules and the clone merge. Returns (g_attln, R_att)."""
+    del lnb  # LN bias does not enter the backward/rules
+    inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mxu)
+    inter_pre = inter_pre_nb + b_i
+    inter_g = _gelu_exact(inter_pre)
+    dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mxu)
+    dense2 = dense2_nb + b_o
+
+    g_sum2 = _ln_bwd_math(g_out, dense2 + att_ln, lns, eps)
+    g_ig = _kdot(g_sum2, wo, ((1,), (1,)), mxu)
+    g_h1 = g_ig * _gelu_grad(inter_pre)
+    g_attln = g_sum2 + _kdot(g_h1, wi, ((1,), (1,)), mxu)
+
+    R1, R2 = _add_rule_math(dense2, att_ln, R)
+    R1 = _linear_rule_math(inter_g, wo, R1, dense2_nb, rule_mxu)
+    R1 = _linear_rule_math(att_ln, wi, R1, inter_pre_nb, rule_mxu)
+    R_att = att_ln * _ksafe_divide(R1 + R2, att_ln)
+    return g_attln, R_att
+
+
+def _attn_head_fwd(q, k, v, mask_row, inv_s, attn_mxu):
+    raw = _kdot(q, k, ((1,), (1,)), attn_mxu)
+    probs = jax.nn.softmax(raw * inv_s + mask_row, axis=-1)
+    return _kdot(probs, v, ((1,), (0,)), attn_mxu)
+
+
+def _attn_head_rev(q, k, v, ctx_i, g_o, R1_i, mask_row, inv_s,
+                   attn_mxu, rule_mxu):
+    """One head's backward + z-rules (probs recomputed — bitwise, same dots
+    on the same operands as pass 1). Returns the six (S, d) per-head outputs
+    plus the gc contribution and the three mask-Add renorm partial sums."""
+    dt = q.dtype
+    half = jnp.asarray(0.5, dt)
+    raw = _kdot(q, k, ((1,), (1,)), attn_mxu)
+    scaled = raw * inv_s
+    probs = jax.nn.softmax(scaled + mask_row, axis=-1)
+    g_probs = _kdot(g_o, v, ((1,), (1,)), attn_mxu)
+    gv_i = _kdot(probs, g_o, ((0,), (0,)), attn_mxu)
+    inner = (g_probs * probs).sum(axis=-1, keepdims=True)
+    g_raw = probs * (g_probs - inner) * inv_s
+    gq_i = _kdot(g_raw, k, ((1,), (0,)), attn_mxu)
+    gk_i = _kdot(g_raw, q, ((0,), (0,)), attn_mxu)
+
+    S1 = _ksafe_divide(R1_i, ctx_i)
+    cam1 = probs * _kdot(S1, v, ((1,), (1,)), rule_mxu) * half
+    cv_i = v * _kdot(probs, S1, ((0,), (0,)), rule_mxu) * half
+    gc_c = jnp.maximum(g_probs * cam1, jnp.zeros((), dt))
+
+    Zm = scaled + mask_row
+    Sm = _ksafe_divide(cam1, Zm)
+    M = scaled * Sm
+    S2u = _ksafe_divide(M, raw)
+    cqu_i = q * _kdot(S2u, k, ((1,), (0,)), rule_mxu) * half
+    cku_i = k * _kdot(S2u, q, ((0,), (0,)), rule_mxu) * half
+    return (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c,
+            M.sum(), (mask_row * Sm).sum(), cam1.sum())
+
+
+def _wsl(w, sl):
+    """Static column slice of a weight that may be a (hi, lo) pair."""
+    if isinstance(w, tuple):
+        return w[0][:, sl], w[1][:, sl]
+    return w[:, sl]
+
+
+def _linear_rule_cols(x, ax, w_sl, aw_sl, R_sl, y_pre_sl, axw_sl, rule_mxu):
+    """One head-column-block's contribution to :func:`_linear_rule_math`:
+    the rule's denominator is elementwise in the output columns and its two
+    transpose-dots sum over them, so the full-matrix rule is the sum of
+    per-block calls (``x``/``ax`` are the full (S, D_in) input and |input|)."""
+    half = jnp.asarray(0.5, x.dtype)
+    Smat = _ksafe_divide(R_sl, half * (y_pre_sl + axw_sl))
+    return half * (x * _kdot(Smat, w_sl, ((1,), (1,)), rule_mxu)
+                   + ax * _kdot(Smat, aw_sl, ((1,), (1,)), rule_mxu))
+
+
+def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
+                        lns, lnb, bq, bk, bv, bo,
+                        wq, wk, wv, wao, *,
+                        num_heads, head_dim, eps, mxu, attn_mxu, rule_mxu,
+                        unroll=False):
+    """Attention sub-block reverse; returns (g_in, R_in, gc (S, S)).
+
+    ``unroll=True`` (the Mosaic kernel path) runs the head loop as a static
+    Python loop over 2-D column slices, folding each head's six (S, d)
+    outputs into (S, D) accumulators immediately via sliced-weight dots —
+    no (h, S, d) stacks, no scratch, no dynamic indexing. This shape is
+    forced by the TC lowering: ``dynamic_slice`` on values is unimplemented,
+    and dynamic scratch-ref indexing (leading-dim or lane ``pl.ds``)
+    crashes the remote Mosaic compile helper (probed 2026-08-17). The
+    mask-Add renormalization λ and the three linear rules are linear in the
+    incoming relevance, so λ is deferred to a post-loop scalar.
+
+    ``unroll=False`` (the XLA path) uses a ``fori_loop`` over a leading
+    head axis with value carries."""
+    del lnb
+    dt = x_in.dtype
+    S = x_in.shape[0]
+    h, d = num_heads, head_dim
+    inv_s = jnp.asarray(head_dim ** -0.5, dt)
+
+    q_nb = _kdot(x_in, wq, ((1,), (0,)), mxu)
+    k_nb = _kdot(x_in, wk, ((1,), (0,)), mxu)
+    v_nb = _kdot(x_in, wv, ((1,), (0,)), mxu)
+    qb, kb, vb = q_nb + bq, k_nb + bk, v_nb + bv
+
+    def to_heads(x):                         # (S, D) -> (h, S, d)
+        return x.reshape(S, h, d).transpose(1, 0, 2)
+
+    def from_heads(x):                       # (h, S, d) -> (S, D)
+        return x.transpose(1, 0, 2).reshape(S, h * d)
+
+    if unroll:
+        ctx_parts = [
+            _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
+                           vb[:, i * d:(i + 1) * d], mask_row, inv_s,
+                           attn_mxu)
+            for i in range(h)]
+        ctx = jnp.concatenate(ctx_parts, axis=1)
+    else:
+        qh, kh, vh = to_heads(qb), to_heads(kb), to_heads(vb)
+
+        def fwd_body(i, ctx_h):
+            out = _attn_head_fwd(qh[i], kh[i], vh[i], mask_row, inv_s,
+                                 attn_mxu)
+            return ctx_h.at[i].set(out)
+
+        ctx_h = jax.lax.fori_loop(0, h, fwd_body, jnp.zeros((h, S, d), dt))
+        ctx = from_heads(ctx_h)
+
+    dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
+    dense_out = dense_nb + bo
+    g_sum1 = _ln_bwd_math(g_attln, dense_out + x_in, lns, eps)
+    g_ctx = _kdot(g_sum1, wao, ((1,), (1,)), mxu)
+
+    R1, R2 = _add_rule_math(dense_out, x_in, R_att)
+    R1f = _linear_rule_math(ctx, wao, R1, dense_nb, rule_mxu)
+
+    # pass 2: backward + rules per head; the mask-add renormalization is a
+    # scalar λ applied after the loop (rules are linear in R)
+    zero = jnp.zeros((), dt)
+    if unroll:
+        ax = jnp.abs(x_in)
+        awq, awk, awv = _kabs(wq), _kabs(wk), _kabs(wv)
+        axw_q = _kdot(ax, awq, ((1,), (0,)), rule_mxu)
+        axw_k = _kdot(ax, awk, ((1,), (0,)), rule_mxu)
+        axw_v = _kdot(ax, awv, ((1,), (0,)), rule_mxu)
+        g_att = jnp.zeros((S, h * d), dt)
+        Racc_qk = jnp.zeros((S, h * d), dt)
+        Racc_v = jnp.zeros((S, h * d), dt)
+        gc = jnp.zeros((S, S), dt)
+        a_sum = b_sum = r_sum = zero
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
+                _attn_head_rev(qb[:, sl], kb[:, sl], vb[:, sl], ctx_parts[i],
+                               g_ctx[:, sl], R1f[:, sl], mask_row, inv_s,
+                               attn_mxu, rule_mxu)
+            g_att = (g_att + _kdot(gq_i, _wsl(wq, sl), ((1,), (1,)), mxu)
+                     + _kdot(gk_i, _wsl(wk, sl), ((1,), (1,)), mxu)
+                     + _kdot(gv_i, _wsl(wv, sl), ((1,), (1,)), mxu))
+            Racc_qk = (Racc_qk
+                       + _linear_rule_cols(x_in, ax, _wsl(wq, sl),
+                                           _wsl(awq, sl), cqu_i, q_nb[:, sl],
+                                           axw_q[:, sl], rule_mxu)
+                       + _linear_rule_cols(x_in, ax, _wsl(wk, sl),
+                                           _wsl(awk, sl), cku_i, k_nb[:, sl],
+                                           axw_k[:, sl], rule_mxu))
+            Racc_v = Racc_v + _linear_rule_cols(
+                x_in, ax, _wsl(wv, sl), _wsl(awv, sl), cv_i, v_nb[:, sl],
+                axw_v[:, sl], rule_mxu)
+            gc = gc + gc_c
+            a_sum, b_sum, r_sum = a_sum + a_c, b_sum + b_c, r_sum + r_c
+    else:
+        g_ctx_h, R1_h = to_heads(g_ctx), to_heads(R1f)
+        zeros_hsd = jnp.zeros((h, S, d), dt)
+
+        def rev_body(i, carry):
+            (gq, gk, gv, cqu, cku, cv, gc, a_sum, b_sum, r_sum) = carry
+            (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
+                _attn_head_rev(qh[i], kh[i], vh[i], ctx_h[i], g_ctx_h[i],
+                               R1_h[i], mask_row, inv_s, attn_mxu, rule_mxu)
+            return (gq.at[i].set(gq_i), gk.at[i].set(gk_i),
+                    gv.at[i].set(gv_i), cqu.at[i].set(cqu_i),
+                    cku.at[i].set(cku_i), cv.at[i].set(cv_i),
+                    gc + gc_c, a_sum + a_c, b_sum + b_c, r_sum + r_c)
+
+        (gq, gk, gv, cqu, cku, cv, gc, a_sum, b_sum,
+         r_sum) = jax.lax.fori_loop(
+            0, h, rev_body,
+            (zeros_hsd, zeros_hsd, zeros_hsd, zeros_hsd, zeros_hsd,
+             zeros_hsd, jnp.zeros((S, S), dt), zero, zero, zero))
+
+    gc = gc / jnp.asarray(num_heads, dt)
+    tot = jnp.abs(a_sum) + jnp.abs(b_sum)
+    a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
+    lam = _ksafe_divide(a_fact, a_sum)
+    if unroll:
+        R_lin = lam * Racc_qk + Racc_v
+        g_in = g_sum1 + g_att
+    else:
+        cam_q = lam * from_heads(cqu)
+        cam_k = lam * from_heads(cku)
+        cam_v = from_heads(cv)
+        Rq = _linear_rule_math(x_in, wq, cam_q, q_nb, rule_mxu)
+        Rk = _linear_rule_math(x_in, wk, cam_k, k_nb, rule_mxu)
+        Rv = _linear_rule_math(x_in, wv, cam_v, v_nb, rule_mxu)
+        R_lin = Rq + Rk + Rv
+        g_in = (g_sum1
+                + _kdot(from_heads(gq), wq, ((1,), (1,)), mxu)
+                + _kdot(from_heads(gk), wk, ((1,), (1,)), mxu)
+                + _kdot(from_heads(gv), wv, ((1,), (1,)), mxu))
+    # two nested clones, exactly as the reference (BERT.py:319, :227)
+    R_h1 = x_in * _ksafe_divide(R_lin, x_in)
+    R_in = x_in * _ksafe_divide(R_h1 + R2, x_in)
+    return g_in, R_in, gc
+
+
+def _bert_fwd_math(x_in, mask_row, ln1s, ln1b, ln2s, ln2b,
+                   bq, bk, bv, bo, b_i, b_o2, wq, wk, wv, wao, wi, wo, *,
+                   num_heads, head_dim, eps, mxu, attn_mxu, unroll=False):
+    """One BERT encoder layer forward; returns (out, att_ln).
+
+    ``unroll=True`` (the Mosaic kernel path): static Python head loop over
+    2-D column slices — see :func:`_bert_attn_rev_math` for why dynamic
+    indexing is off the table in the TC lowering."""
+    S = x_in.shape[0]
+    h, d = num_heads, head_dim
+    qb = _kdot(x_in, wq, ((1,), (0,)), mxu) + bq
+    kb = _kdot(x_in, wk, ((1,), (0,)), mxu) + bk
+    vb = _kdot(x_in, wv, ((1,), (0,)), mxu) + bv
+    inv_s = jnp.asarray(head_dim ** -0.5, x_in.dtype)
+
+    if unroll:
+        ctx = jnp.concatenate([
+            _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
+                           vb[:, i * d:(i + 1) * d], mask_row, inv_s,
+                           attn_mxu)
+            for i in range(h)], axis=1)
+    else:
+        qh = qb.reshape(S, h, d).transpose(1, 0, 2)
+        kh = kb.reshape(S, h, d).transpose(1, 0, 2)
+        vh = vb.reshape(S, h, d).transpose(1, 0, 2)
+
+        def fwd_body(i, ctx_h):
+            out = _attn_head_fwd(qh[i], kh[i], vh[i], mask_row, inv_s,
+                                 attn_mxu)
+            return ctx_h.at[i].set(out)
+
+        ctx_h = jax.lax.fori_loop(0, h, fwd_body,
+                                  jnp.zeros((h, S, d), x_in.dtype))
+        ctx = ctx_h.transpose(1, 0, 2).reshape(S, h * d)
+    dense_out = _kdot(ctx, wao, ((1,), (0,)), mxu) + bo
+    att_ln, _, _ = _ln_fwd(dense_out + x_in, ln1s, ln1b, eps)
+    inter_g = _gelu_exact(_kdot(att_ln, wi, ((1,), (0,)), mxu) + b_i)
+    dense2 = _kdot(inter_g, wo, ((1,), (0,)), mxu) + b_o2
+    out, _, _ = _ln_fwd(dense2 + att_ln, ln2s, ln2b, eps)
+    return out, att_ln
+
+
+def prepare_bert_weights(layers: dict, mxu: str):
+    """Pre-cast / pre-split the stacked (L, ...) BERT layer weights once,
+    outside the scans (see :func:`prepare_block_weights` for why). Order:
+    q, k, v, attn_out, inter, out."""
+    ws = [layers["q"]["kernel"], layers["k"]["kernel"],
+          layers["v"]["kernel"], layers["attn_out"]["kernel"],
+          layers["inter"]["kernel"], layers["out"]["kernel"]]
+    flat, _ = _flatten_weights(ws, mxu)
+    return tuple(flat)
+
+
+def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, paired):
+    att_ln_ref, g_out_ref, R_ref, lns_ref, lnb_ref, bi_ref, bo_ref = refs[:7]
+    g_ref, Ra_ref = refs[-2:]
+    w = refs[7:-2]
+    if paired:
+        wi, wo = (w[0][:], w[1][:]), (w[2][:], w[3][:])
+    else:
+        wi, wo = w[0][:], w[1][:]
+    g_attln, R_att = _bert_out_rev_math(
+        att_ln_ref[:], g_out_ref[:], R_ref[:], lns_ref[:], lnb_ref[:],
+        bi_ref[:], bo_ref[:], wi, wo, eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+    g_ref[:] = g_attln
+    Ra_ref[:] = R_att
+
+
+def bert_out_rev_core(att_ln, g_out, R, lp, eps: float,
+                      mxu: str = "bfloat16", rule_mxu: str = "bfloat16",
+                      use_pallas: Optional[bool] = None,
+                      interpret: bool = False, ws: Optional[tuple] = None):
+    """Fused output sub-block reverse; ``lp`` is the layer params dict.
+    ``ws``: this layer's (inter, out) slice of :func:`prepare_bert_weights`
+    entries 4:..."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    S, D = att_ln.shape
+    dt = jnp.float64 if att_ln.dtype == jnp.float64 else jnp.float32
+    if ws is not None:
+        w_flat, paired = list(ws), mxu == "tensorfloat32"
+    else:
+        w_flat, paired = _flatten_weights(
+            [lp["inter"]["kernel"], lp["out"]["kernel"]], mxu)
+    args = (att_ln.astype(dt), g_out.astype(dt), R.astype(dt),
+            lp["out_ln"]["scale"][None].astype(dt),
+            lp["out_ln"]["bias"][None].astype(dt),
+            lp["inter"]["bias"][None].astype(dt),
+            lp["out"]["bias"][None].astype(dt))
+    if not use_pallas and not interpret:
+        if paired:
+            wi, wo = (w_flat[0], w_flat[1]), (w_flat[2], w_flat[3])
+        else:
+            wi, wo = w_flat
+        return _bert_out_rev_math(*args, wi, wo, eps=eps, mxu=mxu,
+                                  rule_mxu=rule_mxu)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        functools.partial(_bert_out_rev_kernel, eps=eps, mxu=mxu,
+                          rule_mxu=rule_mxu, paired=paired),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 2,
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(*args, *w_flat)
+
+
+def _bert_attn_rev_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
+                          rule_mxu, paired):
+    (x_in_ref, g_ref, R_ref, mask_ref, lns_ref, lnb_ref,
+     bq_ref, bk_ref, bv_ref, bo_ref) = refs[:10]
+    nw = 8 if paired else 4
+    w = refs[10:10 + nw]
+    g_in_ref, R_in_ref, gc_ref = refs[10 + nw:13 + nw]
+    if paired:
+        wq, wk, wv, wao = ((w[i][:], w[i + 1][:]) for i in range(0, 8, 2))
+    else:
+        wq, wk, wv, wao = (w[i][:] for i in range(4))
+    g_in, R_in, gc = _bert_attn_rev_math(
+        x_in_ref[:], g_ref[:], R_ref[:], mask_ref[:],
+        lns_ref[:], lnb_ref[:], bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:],
+        wq, wk, wv, wao, num_heads=num_heads, head_dim=head_dim, eps=eps,
+        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, unroll=True)
+    g_in_ref[:] = g_in
+    R_in_ref[:] = R_in
+    gc_ref[:] = gc
+
+
+def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
+                       num_heads: int, head_dim: int, eps: float,
+                       mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
+                       rule_mxu: str = "bfloat16",
+                       use_pallas: Optional[bool] = None,
+                       interpret: bool = False, ws: Optional[tuple] = None):
+    """Fused attention sub-block reverse; returns (g_in, R_in, gc).
+    ``ext_mask``: (S,) additive mask. ``ws``: this layer's (q, k, v,
+    attn_out) slice of :func:`prepare_bert_weights`."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    S, D = x_in.shape
+    dt = jnp.float64 if x_in.dtype == jnp.float64 else jnp.float32
+    if ws is not None:
+        w_flat, paired = list(ws), mxu == "tensorfloat32"
+    else:
+        w_flat, paired = _flatten_weights(
+            [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"],
+             lp["attn_out"]["kernel"]], mxu)
+    args = (x_in.astype(dt), g_attln.astype(dt), R_att.astype(dt),
+            ext_mask[None].astype(dt),
+            lp["attn_ln"]["scale"][None].astype(dt),
+            lp["attn_ln"]["bias"][None].astype(dt),
+            lp["q"]["bias"][None].astype(dt), lp["k"]["bias"][None].astype(dt),
+            lp["v"]["bias"][None].astype(dt),
+            lp["attn_out"]["bias"][None].astype(dt))
+    kw = dict(num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
+              attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    if not use_pallas and not interpret:
+        wp = _pair_weights(w_flat, paired)
+        return _bert_attn_rev_math(*args, *wp, **kw)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        functools.partial(_bert_attn_rev_kernel, paired=paired, **kw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((S, D), dt),
+                   jax.ShapeDtypeStruct((S, D), dt),
+                   jax.ShapeDtypeStruct((S, S), dt)],
+        compiler_params=_vmem_params(interpret, mib=127),
+        interpret=interpret,
+    )(*args, *w_flat)
+
+
+def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu, paired):
+    (x_ref, mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     bq_ref, bk_ref, bv_ref, bo_ref, bi_ref, bo2_ref) = refs[:12]
+    nw = 12 if paired else 6
+    w = refs[12:12 + nw]
+    out_ref, attln_ref = refs[12 + nw:14 + nw]
+    if paired:
+        ws = tuple((w[i][:], w[i + 1][:]) for i in range(0, 12, 2))
+    else:
+        ws = tuple(w[i][:] for i in range(6))
+    out, att_ln = _bert_fwd_math(
+        x_ref[:], mask_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:],
+        ln2b_ref[:], bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:],
+        bi_ref[:], bo2_ref[:], *ws, num_heads=num_heads, head_dim=head_dim,
+        eps=eps, mxu=mxu, attn_mxu=attn_mxu, unroll=True)
+    out_ref[:] = out
+    attln_ref[:] = att_ln
+
+
+def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
+                        eps: float, mxu: str = "bfloat16",
+                        attn_mxu: str = "bfloat16",
+                        use_pallas: Optional[bool] = None,
+                        interpret: bool = False, ws: Optional[tuple] = None):
+    """ONE kernel for a full BERT encoder layer forward; returns
+    (out, att_ln) — the reverse pass's two anchors."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    S, D = x_in.shape
+    dt = jnp.float64 if x_in.dtype == jnp.float64 else jnp.float32
+    if ws is not None:
+        w_flat, paired = list(ws), mxu == "tensorfloat32"
+    else:
+        w_flat, paired = _flatten_weights(
+            [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"],
+             lp["attn_out"]["kernel"], lp["inter"]["kernel"],
+             lp["out"]["kernel"]], mxu)
+    args = (x_in.astype(dt), ext_mask[None].astype(dt),
+            lp["attn_ln"]["scale"][None].astype(dt),
+            lp["attn_ln"]["bias"][None].astype(dt),
+            lp["out_ln"]["scale"][None].astype(dt),
+            lp["out_ln"]["bias"][None].astype(dt),
+            lp["q"]["bias"][None].astype(dt), lp["k"]["bias"][None].astype(dt),
+            lp["v"]["bias"][None].astype(dt),
+            lp["attn_out"]["bias"][None].astype(dt),
+            lp["inter"]["bias"][None].astype(dt),
+            lp["out"]["bias"][None].astype(dt))
+    kw = dict(num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
+              attn_mxu=attn_mxu)
+    if not use_pallas and not interpret:
+        wp = _pair_weights(w_flat, paired)
+        return _bert_fwd_math(*args, *wp, **kw)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return pl.pallas_call(
+        functools.partial(_bert_fwd_kernel, paired=paired, **kw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 2,
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(*args, *w_flat)
