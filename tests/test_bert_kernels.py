@@ -108,6 +108,36 @@ def test_bert_explain_kernel_path_matches_reference_path():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
 
 
+def test_bert_attn_rev_chunked_matches_single_kernel():
+    """The chunked mid + per-head-chunk path (used above S=384 on TPU) is
+    the same math as the single fused kernel, redistributed: per-chunk
+    accumulators summed in XLA plus the combine. f64 interpret, tight tol
+    (only float reassociation across the chunk sum differs)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _, lp32, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=4,
+                                                          seed=11)
+        lp = jax.tree.map(lambda a: a.astype(jnp.float64), lp32)
+        x_in, g_out, R, ext_mask = (a.astype(jnp.float64)
+                                    for a in (x_in, g_out, R, ext_mask))
+        kw = dict(mxu="float32", attn_mxu="float32", rule_mxu="float32",
+                  use_pallas=True, interpret=True)
+        want = pk.bert_attn_rev_core(x_in, g_out, R, ext_mask, lp,
+                                     CFG.num_heads, CFG.head_dim,
+                                     CFG.layer_norm_eps, head_chunk=0, **kw)
+        for hc in (1, 3, 4):   # 4 does not divide num_heads=4? it does; 3 ragged
+            got = pk.bert_attn_rev_core(x_in, g_out, R, ext_mask, lp,
+                                        CFG.num_heads, CFG.head_dim,
+                                        CFG.layer_norm_eps, head_chunk=hc,
+                                        **kw)
+            for g, w, name in zip(got, want, ("g_in", "R_in", "gc")):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-9, atol=1e-12,
+                                           err_msg=f"hc={hc} {name}")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_bert_prepared_weights_match_inline():
     params, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=3, seed=9)
     for mxu in ["tensorfloat32", "bfloat16"]:

@@ -20,14 +20,14 @@ from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 # method -> (needs attention-grads, needs relprop)
 # Longest sequence the fused-kernel path auto-enables for (see
-# explain_single). All modes are validated end-to-end at S<=384. At S=512
-# the attn-rev kernel's unrolled head loop spills ~112 MB of vector
-# registers when the attention island runs multi-pass f32/tf32 dots
-# ("register allocator spill slots", 138-143 MB vs the 128 MB chip VMEM),
-# so only the 1-pass bf16 mode fits; it measures 288 expl/s at corr 0.996
-# vs CPU-f32 (B=8). Explicit ``use_kernel=True`` overrides both gates.
-KERNEL_MAX_SEQ = 384
-KERNEL_MAX_SEQ_BF16 = 512
+# explain_single): BERT-base's position-embedding ceiling. Up to S=384 the
+# reverse runs as one fused kernel per layer; beyond, multi-pass (tf32/f32)
+# modes switch to the chunked mid + per-head-chunk kernels (the single
+# kernel's 12 unrolled heads spill ~112 MB of vector registers past the
+# 128 MB chip VMEM — pallas_kernels.bert_attn_rev_core picks the path).
+# Measured at S=512 B=8 vs CPU-f32: tf32+f32attn 249 expl/s at corr
+# 0.99985 mean / 0.99878 min (XLA f32: 33.7/s); bf16 288/s at 0.996.
+KERNEL_MAX_SEQ = 512
 
 METHODS = {
     "transformer_attribution": (True, True),    # generate_LRP (:28-59)

@@ -1064,6 +1064,121 @@ def _linear_rule_cols(x, ax, w_sl, aw_sl, R_sl, y_pre_sl, axw_sl, rule_mxu):
                    + ax * _kdot(Smat, aw_sl, ((1,), (1,)), rule_mxu))
 
 
+def _head_rev_accum(x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb,
+                    axw_q, axw_k, axw_v, ctx_b, g_ctx_b, R1f_b,
+                    wq, wk, wv, awq, awk, awv, mask_row, inv_s, head_dim, *,
+                    mxu, attn_mxu, rule_mxu):
+    """Static-unrolled reverse over the heads present in one column block,
+    folding each head's six (S, d) outputs into (S, D_in) accumulators via
+    sliced-weight dots. All block args (qb..R1f_b, weights) are column
+    slices covering the same heads; ``x_in``/``ax`` are full width. Returns
+    (g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum) — the mask-Add λ is
+    applied by the caller (the rules are linear in R)."""
+    dt = x_in.dtype
+    S, D_in = x_in.shape
+    d = head_dim
+    hb = qb.shape[1] // d
+    zero = jnp.zeros((), dt)
+    g_att = jnp.zeros((S, D_in), dt)
+    Racc_qk = jnp.zeros((S, D_in), dt)
+    Racc_v = jnp.zeros((S, D_in), dt)
+    gc = jnp.zeros((S, S), dt)
+    a_sum = b_sum = r_sum = zero
+    for j in range(hb):
+        sl = slice(j * d, (j + 1) * d)
+        (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
+            _attn_head_rev(qb[:, sl], kb[:, sl], vb[:, sl], ctx_b[:, sl],
+                           g_ctx_b[:, sl], R1f_b[:, sl], mask_row, inv_s,
+                           attn_mxu, rule_mxu)
+        g_att = (g_att + _kdot(gq_i, _wsl(wq, sl), ((1,), (1,)), mxu)
+                 + _kdot(gk_i, _wsl(wk, sl), ((1,), (1,)), mxu)
+                 + _kdot(gv_i, _wsl(wv, sl), ((1,), (1,)), mxu))
+        Racc_qk = (Racc_qk
+                   + _linear_rule_cols(x_in, ax, _wsl(wq, sl),
+                                       _wsl(awq, sl), cqu_i, q_nb[:, sl],
+                                       axw_q[:, sl], rule_mxu)
+                   + _linear_rule_cols(x_in, ax, _wsl(wk, sl),
+                                       _wsl(awk, sl), cku_i, k_nb[:, sl],
+                                       axw_k[:, sl], rule_mxu))
+        Racc_v = Racc_v + _linear_rule_cols(
+            x_in, ax, _wsl(wv, sl), _wsl(awv, sl), cv_i, v_nb[:, sl],
+            axw_v[:, sl], rule_mxu)
+        gc = gc + gc_c
+        a_sum, b_sum, r_sum = a_sum + a_c, b_sum + b_c, r_sum + r_c
+    return g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum
+
+
+def _attn_rev_combine(x_in, g_sum1, g_att, Racc_qk, Racc_v, R2, gc,
+                      a_sum, b_sum, r_sum, num_heads):
+    """Post-head-loop combine: the mask-Add λ renormalization, the q/k/v
+    Linear rules' deferred λ scale, the two nested clones (reference
+    BERT.py:319, :227) and the backward merge. Plain jnp — runs both inside
+    the single fused kernel and in XLA after the chunked kernels."""
+    dt = x_in.dtype
+    gc = gc / jnp.asarray(num_heads, dt)
+    tot = jnp.abs(a_sum) + jnp.abs(b_sum)
+    a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
+    lam = _ksafe_divide(a_fact, a_sum)
+    R_lin = lam * Racc_qk + Racc_v
+    R_h1 = x_in * _ksafe_divide(R_lin, x_in)
+    R_in = x_in * _ksafe_divide(R_h1 + R2, x_in)
+    return g_sum1 + g_att, R_in, gc
+
+
+def _bert_attn_mid_math(x_in, g_attln, R_att, mask_row, lns,
+                        bq, bk, bv, bo, wq, wk, wv, wao, *,
+                        num_heads, head_dim, eps, mxu, attn_mxu, rule_mxu):
+    """Stage 1 of the chunked attention reverse: forward-recompute the
+    attention output (static head loop, forward only — ~3 (S, S) temps per
+    head, so it fits scoped VMEM at any BERT length), then the dense
+    backward, LN backward, residual-Add rule and the dense Linear rule.
+    Returns (ctx, g_sum1, g_ctx, R1f, R2) — everything the per-head-chunk
+    stage needs besides x_in."""
+    dt = x_in.dtype
+    h, d = num_heads, head_dim
+    inv_s = jnp.asarray(head_dim ** -0.5, dt)
+    qb = _kdot(x_in, wq, ((1,), (0,)), mxu) + bq
+    kb = _kdot(x_in, wk, ((1,), (0,)), mxu) + bk
+    vb = _kdot(x_in, wv, ((1,), (0,)), mxu) + bv
+    ctx = jnp.concatenate([
+        _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
+                       vb[:, i * d:(i + 1) * d], mask_row, inv_s, attn_mxu)
+        for i in range(h)], axis=1)
+    dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
+    dense_out = dense_nb + bo
+    g_sum1 = _ln_bwd_math(g_attln, dense_out + x_in, lns, eps)
+    g_ctx = _kdot(g_sum1, wao, ((1,), (1,)), mxu)
+    R1, R2 = _add_rule_math(dense_out, x_in, R_att)
+    R1f = _linear_rule_math(ctx, wao, R1, dense_nb, rule_mxu)
+    return ctx, g_sum1, g_ctx, R1f, R2
+
+
+def _bert_attn_chunk_math(x_in, ctx_b, g_ctx_b, R1f_b, mask_row,
+                          bq_b, bk_b, bv_b, wq_b, wk_b, wv_b, *,
+                          head_dim, mxu, attn_mxu, rule_mxu):
+    """Stage 2 of the chunked attention reverse: one chunk of heads'
+    backward + z-rules. Block args are this chunk's column slices; the
+    chunk's q/k/v projections and |x|@|w| denominators are recomputed
+    in-chunk from full-width ``x_in`` and the sliced weights (columns of a
+    matmul are independent, so this is the same math at chunk cost)."""
+    dt = x_in.dtype
+    inv_s = jnp.asarray(head_dim ** -0.5, dt)
+    q_nb = _kdot(x_in, wq_b, ((1,), (0,)), mxu)
+    k_nb = _kdot(x_in, wk_b, ((1,), (0,)), mxu)
+    v_nb = _kdot(x_in, wv_b, ((1,), (0,)), mxu)
+    qb, kb, vb = q_nb + bq_b, k_nb + bk_b, v_nb + bv_b
+    ax = jnp.abs(x_in)
+    awq, awk, awv = _kabs(wq_b), _kabs(wk_b), _kabs(wv_b)
+    axw_q = _kdot(ax, awq, ((1,), (0,)), rule_mxu)
+    axw_k = _kdot(ax, awk, ((1,), (0,)), rule_mxu)
+    axw_v = _kdot(ax, awv, ((1,), (0,)), rule_mxu)
+    return _head_rev_accum(
+        x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb, axw_q, axw_k, axw_v,
+        ctx_b, g_ctx_b, R1f_b, wq_b, wk_b, wv_b, awq, awk, awv,
+        mask_row, inv_s, head_dim, mxu=mxu, attn_mxu=attn_mxu,
+        rule_mxu=rule_mxu)
+
+
 def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
                         lns, lnb, bq, bk, bv, bo,
                         wq, wk, wv, wao, *,
@@ -1135,32 +1250,10 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
         axw_q = _kdot(ax, awq, ((1,), (0,)), rule_mxu)
         axw_k = _kdot(ax, awk, ((1,), (0,)), rule_mxu)
         axw_v = _kdot(ax, awv, ((1,), (0,)), rule_mxu)
-        g_att = jnp.zeros((S, h * d), dt)
-        Racc_qk = jnp.zeros((S, h * d), dt)
-        Racc_v = jnp.zeros((S, h * d), dt)
-        gc = jnp.zeros((S, S), dt)
-        a_sum = b_sum = r_sum = zero
-        for i in range(h):
-            sl = slice(i * d, (i + 1) * d)
-            (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
-                _attn_head_rev(qb[:, sl], kb[:, sl], vb[:, sl], ctx_parts[i],
-                               g_ctx[:, sl], R1f[:, sl], mask_row, inv_s,
-                               attn_mxu, rule_mxu)
-            g_att = (g_att + _kdot(gq_i, _wsl(wq, sl), ((1,), (1,)), mxu)
-                     + _kdot(gk_i, _wsl(wk, sl), ((1,), (1,)), mxu)
-                     + _kdot(gv_i, _wsl(wv, sl), ((1,), (1,)), mxu))
-            Racc_qk = (Racc_qk
-                       + _linear_rule_cols(x_in, ax, _wsl(wq, sl),
-                                           _wsl(awq, sl), cqu_i, q_nb[:, sl],
-                                           axw_q[:, sl], rule_mxu)
-                       + _linear_rule_cols(x_in, ax, _wsl(wk, sl),
-                                           _wsl(awk, sl), cku_i, k_nb[:, sl],
-                                           axw_k[:, sl], rule_mxu))
-            Racc_v = Racc_v + _linear_rule_cols(
-                x_in, ax, _wsl(wv, sl), _wsl(awv, sl), cv_i, v_nb[:, sl],
-                axw_v[:, sl], rule_mxu)
-            gc = gc + gc_c
-            a_sum, b_sum, r_sum = a_sum + a_c, b_sum + b_c, r_sum + r_c
+        (g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum) = _head_rev_accum(
+            x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb, axw_q, axw_k, axw_v,
+            ctx, g_ctx, R1f, wq, wk, wv, awq, awk, awv, mask_row, inv_s, d,
+            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
     else:
         g_ctx_h, R1_h = to_heads(g_ctx), to_heads(R1f)
         zeros_hsd = jnp.zeros((h, S, d), dt)
@@ -1181,25 +1274,24 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
             (zeros_hsd, zeros_hsd, zeros_hsd, zeros_hsd, zeros_hsd,
              zeros_hsd, jnp.zeros((S, S), dt), zero, zero, zero))
 
+    if unroll:
+        return _attn_rev_combine(x_in, g_sum1, g_att, Racc_qk, Racc_v, R2,
+                                 gc, a_sum, b_sum, r_sum, num_heads)
     gc = gc / jnp.asarray(num_heads, dt)
     tot = jnp.abs(a_sum) + jnp.abs(b_sum)
     a_fact = _ksafe_divide(jnp.abs(a_sum), tot) * r_sum
     lam = _ksafe_divide(a_fact, a_sum)
-    if unroll:
-        R_lin = lam * Racc_qk + Racc_v
-        g_in = g_sum1 + g_att
-    else:
-        cam_q = lam * from_heads(cqu)
-        cam_k = lam * from_heads(cku)
-        cam_v = from_heads(cv)
-        Rq = _linear_rule_math(x_in, wq, cam_q, q_nb, rule_mxu)
-        Rk = _linear_rule_math(x_in, wk, cam_k, k_nb, rule_mxu)
-        Rv = _linear_rule_math(x_in, wv, cam_v, v_nb, rule_mxu)
-        R_lin = Rq + Rk + Rv
-        g_in = (g_sum1
-                + _kdot(from_heads(gq), wq, ((1,), (1,)), mxu)
-                + _kdot(from_heads(gk), wk, ((1,), (1,)), mxu)
-                + _kdot(from_heads(gv), wv, ((1,), (1,)), mxu))
+    cam_q = lam * from_heads(cqu)
+    cam_k = lam * from_heads(cku)
+    cam_v = from_heads(cv)
+    Rq = _linear_rule_math(x_in, wq, cam_q, q_nb, rule_mxu)
+    Rk = _linear_rule_math(x_in, wk, cam_k, k_nb, rule_mxu)
+    Rv = _linear_rule_math(x_in, wv, cam_v, v_nb, rule_mxu)
+    R_lin = Rq + Rk + Rv
+    g_in = (g_sum1
+            + _kdot(from_heads(gq), wq, ((1,), (1,)), mxu)
+            + _kdot(from_heads(gk), wk, ((1,), (1,)), mxu)
+            + _kdot(from_heads(gv), wv, ((1,), (1,)), mxu))
     # two nested clones, exactly as the reference (BERT.py:319, :227)
     R_h1 = x_in * _ksafe_divide(R_lin, x_in)
     R_in = x_in * _ksafe_divide(R_h1 + R2, x_in)
@@ -1336,15 +1428,82 @@ def _bert_attn_rev_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
     gc_ref[:] = gc
 
 
+def _bert_attn_mid_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
+                          rule_mxu, paired):
+    (x_in_ref, g_ref, R_ref, mask_ref, lns_ref,
+     bq_ref, bk_ref, bv_ref, bo_ref) = refs[:9]
+    nw = 8 if paired else 4
+    w = refs[9:9 + nw]
+    out_refs = refs[9 + nw:14 + nw]
+    if paired:
+        wq, wk, wv, wao = ((w[i][:], w[i + 1][:]) for i in range(0, 8, 2))
+    else:
+        wq, wk, wv, wao = (w[i][:] for i in range(4))
+    outs = _bert_attn_mid_math(
+        x_in_ref[:], g_ref[:], R_ref[:], mask_ref[:], lns_ref[:],
+        bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:], wq, wk, wv, wao,
+        num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
+        attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    for r, o in zip(out_refs, outs):
+        r[:] = o
+
+
+def _bert_attn_chunk_kernel(*refs, head_dim, mxu, attn_mxu, rule_mxu,
+                            paired):
+    (x_in_ref, ctx_ref, gctx_ref, r1f_ref, mask_ref,
+     bq_ref, bk_ref, bv_ref) = refs[:8]
+    nw = 6 if paired else 3
+    w = refs[8:8 + nw]
+    ga_ref, rqk_ref, rv_ref, gc_ref, sums_ref = refs[8 + nw:13 + nw]
+    if paired:
+        wq, wk, wv = ((w[i][:], w[i + 1][:]) for i in range(0, 6, 2))
+    else:
+        wq, wk, wv = (w[i][:] for i in range(3))
+    (g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum) = \
+        _bert_attn_chunk_math(
+            x_in_ref[:], ctx_ref[:], gctx_ref[:], r1f_ref[:], mask_ref[:],
+            bq_ref[:], bk_ref[:], bv_ref[:], wq, wk, wv,
+            head_dim=head_dim, mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    ga_ref[:] = g_att
+    rqk_ref[:] = Racc_qk
+    rv_ref[:] = Racc_v
+    gc_ref[:] = gc
+    sums_ref[:] = jnp.stack([a_sum, b_sum, r_sum]).reshape(1, 3)
+
+
+# Heads per chunk kernel on the chunked path. 4 heads × ~10 (S, S)
+# register-spilled temps stay well inside the 128 MiB chip VMEM at S=512
+# even with multi-pass (tf32/f32) dots; the single fused kernel's 12
+# unrolled heads do not (measured 138-143 MiB).
+_ATTN_CHUNK_HEADS = 4
+# Above this sequence length the fused single-kernel reverse is replaced by
+# the chunked mid + per-head-chunk kernels.
+_ATTN_CHUNK_MIN_SEQ = 385
+
+
+def _wslice_flat(w_flat, paired, idx, cols):
+    """Column-slice entry ``idx`` (q=0, k=1, v=2, ...) of a flattened
+    (possibly (hi, lo)-paired) weight list."""
+    if paired:
+        return [w_flat[2 * idx][:, cols], w_flat[2 * idx + 1][:, cols]]
+    return [w_flat[idx][:, cols]]
+
+
 def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
                        num_heads: int, head_dim: int, eps: float,
                        mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
                        rule_mxu: str = "bfloat16",
                        use_pallas: Optional[bool] = None,
-                       interpret: bool = False, ws: Optional[tuple] = None):
+                       interpret: bool = False, ws: Optional[tuple] = None,
+                       head_chunk: Optional[int] = None):
     """Fused attention sub-block reverse; returns (g_in, R_in, gc).
     ``ext_mask``: (S,) additive mask. ``ws``: this layer's (q, k, v,
-    attn_out) slice of :func:`prepare_bert_weights`."""
+    attn_out) slice of :func:`prepare_bert_weights`.
+
+    ``head_chunk``: heads per chunk kernel. ``None`` = auto: one fused
+    kernel up to S=384, the chunked mid + per-chunk path beyond (the fused
+    kernel's 12 unrolled heads spill past the 128 MiB chip VMEM at S=512);
+    0 forces the single kernel."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     S, D = x_in.shape
@@ -1355,12 +1514,15 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
         w_flat, paired = _flatten_weights(
             [lp["q"]["kernel"], lp["k"]["kernel"], lp["v"]["kernel"],
              lp["attn_out"]["kernel"]], mxu)
-    args = (x_in.astype(dt), g_attln.astype(dt), R_att.astype(dt),
-            ext_mask[None].astype(dt),
+    x_in = x_in.astype(dt)
+    mask2d = ext_mask[None].astype(dt)
+    bq = lp["q"]["bias"][None].astype(dt)
+    bk = lp["k"]["bias"][None].astype(dt)
+    bv = lp["v"]["bias"][None].astype(dt)
+    args = (x_in, g_attln.astype(dt), R_att.astype(dt), mask2d,
             lp["attn_ln"]["scale"][None].astype(dt),
             lp["attn_ln"]["bias"][None].astype(dt),
-            lp["q"]["bias"][None].astype(dt), lp["k"]["bias"][None].astype(dt),
-            lp["v"]["bias"][None].astype(dt),
+            bq, bk, bv,
             lp["attn_out"]["bias"][None].astype(dt))
     kw = dict(num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
               attn_mxu=attn_mxu, rule_mxu=rule_mxu)
@@ -1369,16 +1531,74 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
         return _bert_attn_rev_math(*args, *wp, **kw)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    return pl.pallas_call(
-        functools.partial(_bert_attn_rev_kernel, paired=paired, **kw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (10 + len(w_flat)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((S, D), dt),
-                   jax.ShapeDtypeStruct((S, D), dt),
-                   jax.ShapeDtypeStruct((S, S), dt)],
-        compiler_params=_vmem_params(interpret, mib=127),
+    if head_chunk is None and S >= _ATTN_CHUNK_MIN_SEQ:
+        # all-bf16 dots are 1-pass and the single fused kernel still fits
+        # the 127 MiB cap at S=512 — and beats the chunked path there
+        # (288 vs 242 expl/s); any multi-pass mode must chunk
+        all_bf16 = (mxu == "bfloat16" and attn_mxu == "bfloat16"
+                    and rule_mxu == "bfloat16")
+        if not all_bf16:
+            head_chunk = _ATTN_CHUNK_HEADS
+    if not head_chunk:
+        return pl.pallas_call(
+            functools.partial(_bert_attn_rev_kernel, paired=paired, **kw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+                10 + len(w_flat)),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((S, D), dt),
+                       jax.ShapeDtypeStruct((S, D), dt),
+                       jax.ShapeDtypeStruct((S, S), dt)],
+            compiler_params=_vmem_params(interpret, mib=127),
+            interpret=interpret,
+        )(*args, *w_flat)
+
+    # chunked path: mid kernel -> ceil(h / head_chunk) chunk kernels whose
+    # partial accumulators are summed in XLA -> combine in XLA
+    mid_args = (args[0], args[1], args[2], args[3], args[4],  # x,g,R,mask,lns
+                bq, bk, bv, args[9])
+    ctx, g_sum1, g_ctx, R1f, R2 = pl.pallas_call(
+        functools.partial(_bert_attn_mid_kernel, paired=paired, **kw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            9 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 5,
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
-    )(*args, *w_flat)
+    )(*mid_args, *w_flat)
+
+    d = head_dim
+    g_att = Racc_qk = Racc_v = gc = sums = None
+    ckw = dict(head_dim=head_dim, mxu=mxu, attn_mxu=attn_mxu,
+               rule_mxu=rule_mxu)
+    for h0 in range(0, num_heads, head_chunk):
+        h1 = min(h0 + head_chunk, num_heads)
+        cols = slice(h0 * d, h1 * d)
+        wcols = (_wslice_flat(w_flat, paired, 0, cols)
+                 + _wslice_flat(w_flat, paired, 1, cols)
+                 + _wslice_flat(w_flat, paired, 2, cols))
+        outs = pl.pallas_call(
+            functools.partial(_bert_attn_chunk_kernel, paired=paired,
+                              **ckw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+                8 + len(wcols)),
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 3
+            + [jax.ShapeDtypeStruct((S, S), dt),
+               jax.ShapeDtypeStruct((1, 3), dt)],
+            compiler_params=_vmem_params(interpret, mib=127),
+            interpret=interpret,
+        )(x_in, ctx[:, cols], g_ctx[:, cols], R1f[:, cols], mask2d,
+          bq[:, cols], bk[:, cols], bv[:, cols], *wcols)
+        if g_att is None:
+            g_att, Racc_qk, Racc_v, gc, sums = outs
+        else:
+            g_att = g_att + outs[0]
+            Racc_qk = Racc_qk + outs[1]
+            Racc_v = Racc_v + outs[2]
+            gc = gc + outs[3]
+            sums = sums + outs[4]
+    return _attn_rev_combine(x_in, g_sum1, g_att, Racc_qk, Racc_v, R2, gc,
+                             sums[0, 0], sums[0, 1], sums[0, 2], num_heads)
 
 
 def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu, paired):
