@@ -20,7 +20,7 @@ import numpy as np
 
 
 def _bench_mode(cfg, params, rng, precision, relprop_precision,
-                attn_precision, batch_candidates):
+                attn_precision, batch_candidates, mlp_precision=None):
     """Best (batch, expl/s) over the candidate batch sizes for one
     precision mode."""
     import jax.numpy as jnp
@@ -29,7 +29,8 @@ def _bench_mode(cfg, params, rng, precision, relprop_precision,
     fn = make_explain_fn(cfg, method="transformer_attribution",
                          matmul_precision=precision,
                          relprop_precision=relprop_precision,
-                         attn_precision=attn_precision)
+                         attn_precision=attn_precision,
+                         mlp_precision=mlp_precision)
     best = None
     for B in batch_candidates:
         imgs = jnp.asarray(rng.randn(B, 3, 224, 224).astype(np.float32))
@@ -77,6 +78,12 @@ def main():
     attn_precision = os.environ.get("BENCH_ATTN_PRECISION", "float32")
     if attn_precision in ("", "none"):
         attn_precision = None
+    # the fc1/fc2 fwd/bwd dots sit outside the attention-gradient chain and
+    # tolerate 1-pass bf16: +34% throughput at unchanged median fidelity vs
+    # f64 ground truth (PERF.md round 2c)
+    mlp_precision = os.environ.get("BENCH_MLP_PRECISION", "bfloat16")
+    if mlp_precision in ("", "none"):
+        mlp_precision = None
     cfg = VIT_BASE_16_224
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
@@ -85,7 +92,8 @@ def main():
                         os.environ.get("BENCH_BATCHES", "64,32").split(",")]
 
     best = _bench_mode(cfg, params, rng, precision, relprop_precision,
-                       attn_precision, batch_candidates)
+                       attn_precision, batch_candidates,
+                       mlp_precision=mlp_precision)
     if best is None:
         raise SystemExit("all batch sizes failed")
     B, rate = best
@@ -95,7 +103,8 @@ def main():
     # costs a multi-minute compile on the relay
     parity = None
     if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
-        if (precision, relprop_precision) == ("float32", None):
+        if (precision, relprop_precision, mlp_precision) == \
+                ("float32", None, None):
             parity = best
         else:
             parity = _bench_mode(cfg, params, rng, "float32", None, None,

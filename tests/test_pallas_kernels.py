@@ -422,3 +422,58 @@ def test_block_rev_core_prepared_weights_match_inline():
                                    interpret=True)
             for g, w in zip(gf, wf):
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_block_rev_core_mlp_mxu_override():
+    """The mlp_mxu knob: None == explicit mxu (bitwise), and the
+    tf32+mlp=bf16 production mix changes ONLY the fc1/fc2 fwd/bwd dots
+    (kernel interpret == math path; result stays close to full tf32)."""
+    import jax
+    from transformer_explainability_tpu.ops import pallas_kernels as pk
+    from transformer_explainability_tpu.models import vit as vit_mod
+    cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                            depth=1, num_heads=4, num_classes=4)
+    params = vit_mod.init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.RandomState(3)
+    n, D = cfg.num_tokens, cfg.embed_dim
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+    x_in = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    x_mid, _, acts = vit_mod._block_acts(x_in, bp, cfg)
+    g_out = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    R = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    base = dict(mxu="tensorfloat32", attn_mxu="float32",
+                rule_mxu="bfloat16", use_pallas=True, interpret=True)
+    args = (x_in, x_mid, acts.out_merged, g_out, R, bp,
+            cfg.num_heads, cfg.head_dim, cfg.block_ln_eps)
+    want = pk.block_rev_core(*args, **base)
+    same = pk.block_rev_core(*args, mlp_mxu="tensorfloat32", **base)
+    for g, w in zip(same, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    mixed_k = pk.block_rev_core(*args, mlp_mxu="bfloat16", **base)
+    mixed_m = pk.block_rev_core(*args, mlp_mxu="bfloat16",
+                                **{**base, "use_pallas": False,
+                                   "interpret": False})
+    for g, w, name in zip(mixed_k, mixed_m, ["g_in", "R_in", "gc"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    # the override perturbs but does not corrupt (bf16-level delta)
+    for g, w in zip(mixed_k, want):
+        g, w = np.asarray(g), np.asarray(w)
+        assert not np.array_equal(g, w)
+        c = np.corrcoef(g.ravel(), w.ravel())[0, 1]
+        assert c > 0.99, c
+    # forward megakernel: same contract
+    f_want = pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                               cfg.block_ln_eps, mxu="tensorfloat32",
+                               attn_mxu="float32", use_pallas=True,
+                               interpret=True)
+    f_mix = pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                              cfg.block_ln_eps, mxu="tensorfloat32",
+                              attn_mxu="float32", mlp_mxu="bfloat16",
+                              use_pallas=True, interpret=True)
+    assert not np.array_equal(np.asarray(f_mix[0]), np.asarray(f_want[0]))
+    # x_mid (attention half) is untouched by the MLP override
+    np.testing.assert_array_equal(np.asarray(f_mix[1]),
+                                  np.asarray(f_want[1]))
+    np.testing.assert_array_equal(np.asarray(f_mix[2]),
+                                  np.asarray(f_want[2]))

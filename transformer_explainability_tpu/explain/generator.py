@@ -62,7 +62,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    attn_precision: Optional[str] = None,
                    unroll: Optional[int] = None,
                    matmul_precision: str = "float32",
-                   use_attn_kernel: Optional[bool] = None) -> Array:
+                   use_attn_kernel: Optional[bool] = None,
+                   mlp_precision: Optional[str] = None) -> Array:
     """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
 
     Output shapes (matching the reference per method):
@@ -97,7 +98,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                                           attn_precision=attn_precision,
                                           unroll=unroll,
                                           use_attn_kernel=use_attn_kernel,
-                                          matmul_precision=matmul_precision)
+                                          matmul_precision=matmul_precision,
+                                          mlp_precision=mlp_precision)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single
@@ -108,7 +110,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
             relprop_precision=relprop_precision,
             attn_precision=attn_precision, fuse_grad_cam=fuse_gc,
             unroll=unroll, use_attn_kernel=use_attn_kernel,
-            matmul_precision=matmul_precision)
+            matmul_precision=matmul_precision,
+            mlp_precision=mlp_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -163,7 +166,8 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     alpha: float = 1.0, variant: str = "ours",
                     matmul_precision: str = "float32",
                     relprop_precision: Optional[str] = None,
-                    attn_precision: Optional[str] = None):
+                    attn_precision: Optional[str] = None,
+                    mlp_precision: Optional[str] = None):
     """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
 
     images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
@@ -175,6 +179,10 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
     (QK^T/AV and their backward) — the precision-sensitive island; pinning
     it to "float32" lets the big Linear matmuls drop to bfloat16 without
     corrupting the attention-gradient chain (PERF.md precision ladder).
+    ``mlp_precision``: optional override for the fc1/fc2 forward/backward
+    dots only (fidelity-tolerant: they sit outside the attention-gradient
+    chain; "bfloat16" with tf32 elsewhere is the measured speed/fidelity
+    sweet spot — PERF.md).
     """
 
     def single(params, img, index):
@@ -182,7 +190,8 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
             return explain_single(params, img, index, cfg, method,
                                   start_layer, is_ablation, alpha, variant,
                                   relprop_precision, attn_precision,
-                                  matmul_precision=matmul_precision)
+                                  matmul_precision=matmul_precision,
+                                  mlp_precision=mlp_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
 
@@ -197,13 +206,15 @@ class Explainer:
 
     def __init__(self, params, cfg: ViTConfig, variant: str = "ours",
                  matmul_precision: str = "float32",
-                 relprop_precision=None, attn_precision=None):
+                 relprop_precision=None, attn_precision=None,
+                 mlp_precision=None):
         self.params = params
         self.cfg = cfg
         self.variant = variant
         self.matmul_precision = matmul_precision
         self.relprop_precision = relprop_precision
         self.attn_precision = attn_precision
+        self.mlp_precision = mlp_precision
         self._fns = {}
 
     def _fn(self, method, start_layer, is_ablation, alpha):
@@ -212,7 +223,7 @@ class Explainer:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, is_ablation, alpha,
                 self.variant, self.matmul_precision, self.relprop_precision,
-                self.attn_precision)
+                self.attn_precision, self.mlp_precision)
         return self._fns[key]
 
     def explain(self, images, indices: Optional[np.ndarray] = None,

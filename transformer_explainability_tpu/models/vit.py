@@ -287,7 +287,8 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                     attn_precision: Optional[str] = None,
                     unroll: int = 1,
                     use_attn_kernel: bool = False,
-                    matmul_precision: str = "float32"
+                    matmul_precision: str = "float32",
+                    mlp_precision: Optional[str] = None
                     ) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
@@ -315,11 +316,15 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
             w_prep = pk.prepare_block_weights(params["blocks"],
                                               matmul_precision)
 
+            mlp_mxu = (_mxu_name(mlp_precision, matmul_precision)
+                       if mlp_precision is not None else None)
+
             def step_fused(x, xs):
                 bp, ws = xs
                 x_out, x_mid, out_merged = pk.block_fwd_core(
                     x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
-                    mxu=matmul_precision, attn_mxu=fwd_mxu, ws=ws)
+                    mxu=matmul_precision, attn_mxu=fwd_mxu,
+                    mlp_mxu=mlp_mxu, ws=ws)
                 return x_out, (x, x_mid, out_merged)
 
             x_final, (x_ins, x_mids, outs) = jax.lax.scan(
@@ -561,7 +566,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  fuse_grad_cam: bool = False,
                  unroll: int = 1,
                  use_attn_kernel: bool = False,
-                 matmul_precision: str = "float32"
+                 matmul_precision: str = "float32",
+                 mlp_precision: Optional[str] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """ONE reverse scan computing the class gradient w.r.t. every post-softmax
     attention map AND the LRP relevance chain, sharing a single recompute of
@@ -642,6 +648,10 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         # smaller kernels — PERF.md)
         use_block_kernel = use_mlp_kernel and not _NO_BLOCK_KERNEL
         mlp_mxu = _mxu_name(None, matmul_precision)
+        # per-dot override for the fc1/fc2 fwd-recompute + backward dots
+        # inside the megakernel (None = follow matmul_precision)
+        mlp_only_mxu = (_mxu_name(mlp_precision, matmul_precision)
+                        if mlp_precision is not None else None)
         scale = cfg.head_dim ** -0.5
 
         if use_block_kernel:
@@ -657,7 +667,7 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                     x_in, x_mid, out_m, g_out, Rc, bp,
                     cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
                     mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
-                    ws=ws)
+                    mlp_mxu=mlp_only_mxu, ws=ws)
                 return (g_in, R_in), (gc,)
 
             assert res.outs is not None

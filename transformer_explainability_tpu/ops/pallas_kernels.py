@@ -451,24 +451,32 @@ def _ln_fwd(x, s, b, eps):
 
 
 def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
-                  eps: float, mxu: str, rule_mxu: str):
+                  eps: float, mxu: str, rule_mxu: str,
+                  mlp_mxu: Optional[str] = None):
     """The MLP half of the fused reverse step, on arrays (shared by the
-    standalone MLP kernel and the whole-block megakernel)."""
+    standalone MLP kernel and the whole-block megakernel).
+
+    ``mlp_mxu``: optional precision override for the four fc1/fc2
+    forward-recompute + backward dots (None = ``mxu``). The MLP dots are
+    ~45% of a block's reverse-side fwd/bwd matmul FLOPs; dropping them
+    to 1-pass bf16 while the attention-gradient chain stays tf32 is the
+    measured sweet spot (see PERF.md)."""
+    mmx = mlp_mxu or mxu
     dt = x_mid.dtype
     half = jnp.asarray(0.5, dt)
 
     # forward recompute (LN -> fc1 -> gelu -> fc2), (n, M) stays in VMEM
     xn2, mu, inv = _ln_fwd(x_mid, s, b, eps)
-    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mxu)
+    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mmx)
     h1 = fc1_pre + b1
     hg = _gelu_exact(h1)
-    fc2_pre = _kdot(hg, w2, ((1,), (0,)), mxu)
+    fc2_pre = _kdot(hg, w2, ((1,), (0,)), mmx)
     mlp_out = fc2_pre + b2
 
     # backward (models/vit.block_backward MLP half)
-    g_hg = _kdot(g_out, w2, ((1,), (1,)), mxu)
+    g_hg = _kdot(g_out, w2, ((1,), (1,)), mmx)
     g_h1 = g_hg * _gelu_grad(h1)
-    g_xn2 = _kdot(g_h1, w1, ((1,), (1,)), mxu)
+    g_xn2 = _kdot(g_h1, w1, ((1,), (1,)), mmx)
     gg = g_xn2 * s
     xhat = (x_mid - mu) * inv
     g_ln = inv * (gg - gg.mean(axis=-1, keepdims=True)
@@ -676,7 +684,8 @@ def _attn_rev_math(qkv, g_o, cam_o, num_heads, head_dim, scale,
 def _block_rev_math(x_in, x_mid, out_m, g_out, R,
                     ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
                     wqkv, wproj, w1, w2, *,
-                    num_heads, head_dim, scale, eps, mxu, attn_mxu, rule_mxu):
+                    num_heads, head_dim, scale, eps, mxu, attn_mxu, rule_mxu,
+                    mlp_mxu=None):
     """The whole fused reverse step of one block (vit.reverse_pass kstep)."""
     dt = x_in.dtype
     # recompute LN1 + qkv (out_m is the saved forward anchor)
@@ -688,7 +697,8 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
 
     # MLP half
     g_mid, Rm = _mlp_rev_math(x_mid, g_out, R, ln2s, ln2b, b1, b2, w1, w2,
-                              eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+                              eps=eps, mxu=mxu, rule_mxu=rule_mxu,
+                              mlp_mxu=mlp_mxu)
 
     g_om = _kdot(g_mid, wproj, ((1,), (1,)), mxu)
 
@@ -765,7 +775,7 @@ def prepare_block_weights(blocks: dict, mxu: str):
 
 
 def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      rule_mxu, paired):
+                      rule_mxu, mlp_mxu, paired):
     (x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
      ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:13]
@@ -777,7 +787,7 @@ def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
         wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
     g_in_ref[:] = g_in
     R_in_ref[:] = R_in
     gc_ref[:] = gc
@@ -787,11 +797,15 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
                    num_heads: int, head_dim: int, eps: float,
                    mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
                    rule_mxu: str = "bfloat16",
+                   mlp_mxu: Optional[str] = None,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False,
                    ws: Optional[tuple] = None):
     """ONE kernel for the entire fused reverse step of a ViT block
     (variant="ours", α=1): returns (g_in, R_in, gc (n, n)).
+
+    ``mlp_mxu``: optional override for the fc1/fc2 forward-recompute +
+    backward dots only (None = ``mxu``); see :func:`_mlp_rev_math`.
 
     ``bp``: the block params dict (norm1/norm2/qkv/proj/fc1/fc2). Weights
     enter pre-cast to the forward dot dtype — bf16 arrays (1-pass), (hi, lo)
@@ -832,14 +846,14 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
             g_out.astype(dt), R.astype(dt), **args,
             wqkv=wqkv, wproj=wproj, w1=w1, w2=w2,
             num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         functools.partial(_block_rev_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
                           attn_mxu=attn_mxu, rule_mxu=rule_mxu,
-                          paired=paired),
+                          mlp_mxu=mlp_mxu, paired=paired),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (13 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
@@ -859,7 +873,9 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
 
 def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
                     wqkv, wproj, w1, w2, *,
-                    num_heads, head_dim, scale, eps, mxu, attn_mxu):
+                    num_heads, head_dim, scale, eps, mxu, attn_mxu,
+                    mlp_mxu=None):
+    mmx = mlp_mxu or mxu
     dt = x.dtype
     D = num_heads * head_dim
     xn1, _, _ = _ln_fwd(x, ln1s, ln1b, eps)
@@ -876,14 +892,14 @@ def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
     attn_out = _kdot(out_m, wproj, ((1,), (0,)), mxu) + bproj
     x_mid = x + attn_out
     xn2, _, _ = _ln_fwd(x_mid, ln2s, ln2b, eps)
-    h1 = _kdot(xn2, w1, ((1,), (0,)), mxu) + b1
+    h1 = _kdot(xn2, w1, ((1,), (0,)), mmx) + b1
     hg = _gelu_exact(h1)
-    mlp_out = _kdot(hg, w2, ((1,), (0,)), mxu) + b2
+    mlp_out = _kdot(hg, w2, ((1,), (0,)), mmx) + b2
     return x_mid + mlp_out, x_mid, out_m
 
 
 def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      paired):
+                      mlp_mxu, paired):
     (x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:9]
     x_out_ref, x_mid_ref, out_ref = refs[-3:]
@@ -893,7 +909,7 @@ def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
         wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu)
+        mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
     x_out_ref[:] = x_out
     x_mid_ref[:] = x_mid
     out_ref[:] = out_m
@@ -901,6 +917,7 @@ def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
 
 def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                    mxu: str = "bfloat16", attn_mxu: str = "bfloat16",
+                   mlp_mxu: Optional[str] = None,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False,
                    ws: Optional[tuple] = None):
@@ -935,13 +952,13 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
         return _block_fwd_math(*flat, wqkv, wproj, w1, w2,
                                num_heads=num_heads, head_dim=head_dim,
                                scale=scale, eps=eps, mxu=mxu,
-                               attn_mxu=attn_mxu)
+                               attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         functools.partial(_block_fwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
-                          attn_mxu=attn_mxu, paired=paired),
+                          attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, paired=paired),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
