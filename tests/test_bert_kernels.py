@@ -138,6 +138,45 @@ def test_bert_attn_rev_chunked_matches_single_kernel():
         jax.config.update("jax_enable_x64", False)
 
 
+def test_bert_rev_core_mlp_mxu_override():
+    """The mlp_mxu knob (BERT analog of the ViT MLP-precision island):
+    None == explicit mxu (bitwise); the tf32+mlp=bf16 mix changes ONLY the
+    inter/out dense fwd/bwd dots (kernel interpret == math path; result
+    stays close to full tf32); the forward's att_ln is untouched."""
+    _, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=5, seed=13)
+    att_ln, _, _ = bert_mod._layer_acts(x_in, None, lp, ext_mask, CFG)
+    base = dict(mxu="tensorfloat32", rule_mxu="bfloat16", use_pallas=True,
+                interpret=True)
+    args = (att_ln, g_out, R, lp, CFG.layer_norm_eps)
+    want = pk.bert_out_rev_core(*args, **base)
+    same = pk.bert_out_rev_core(*args, mlp_mxu="tensorfloat32", **base)
+    for g, w in zip(same, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    mixed_k = pk.bert_out_rev_core(*args, mlp_mxu="bfloat16", **base)
+    mixed_m = pk.bert_out_rev_core(*args, mlp_mxu="bfloat16",
+                                   **{**base, "use_pallas": False,
+                                      "interpret": False})
+    for g, w, name in zip(mixed_k, mixed_m, ["g_attln", "R_att"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    # the override perturbs but does not corrupt (bf16-level delta)
+    for g, w in zip(mixed_k, want):
+        g, w = np.asarray(g), np.asarray(w)
+        assert not np.array_equal(g, w)
+        c = np.corrcoef(g.ravel(), w.ravel())[0, 1]
+        assert c > 0.99, c
+    # forward kernel: out changes, att_ln (pre-MLP) is untouched
+    fkw = dict(num_heads=CFG.num_heads, head_dim=CFG.head_dim,
+               eps=CFG.layer_norm_eps, mxu="tensorfloat32",
+               attn_mxu="float32", use_pallas=True, interpret=True)
+    f_want = pk.bert_layer_fwd_core(x_in, ext_mask, lp, **fkw)
+    f_mix = pk.bert_layer_fwd_core(x_in, ext_mask, lp, mlp_mxu="bfloat16",
+                                   **fkw)
+    assert not np.array_equal(np.asarray(f_mix[0]), np.asarray(f_want[0]))
+    np.testing.assert_array_equal(np.asarray(f_mix[1]),
+                                  np.asarray(f_want[1]))
+
+
 def test_bert_prepared_weights_match_inline():
     params, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=3, seed=9)
     for mxu in ["tensorfloat32", "bfloat16"]:

@@ -51,7 +51,8 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                    relprop_precision: Optional[str] = None,
                    matmul_precision: str = "float32",
                    attn_precision: Optional[str] = None,
-                   use_kernel: Optional[bool] = None):
+                   use_kernel: Optional[bool] = None,
+                   mlp_precision: Optional[str] = None):
     """Per-example BERT explanation. Returns an (S,) token-relevance row."""
     if method not in METHODS:
         raise ValueError(
@@ -61,23 +62,22 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
     # the headline method routes each layer through the fused Pallas cores
     # on TPU in the reduced-precision modes (see bert.reverse_pass): the
     # (L, h, S, S) probability/cam/grad tensors never reach HBM. Gated at
-    # S<=384: the attn-rev kernel's unrolled head loop fits scoped VMEM
-    # standalone at S=512 (127 MiB cap) but not under vmap's batch grid
-    # (double-buffered I/O); longer sequences keep the XLA path.
+    # S<=512 (BERT-base's position ceiling); bert_attn_rev_core switches
+    # multi-pass modes to the chunked mid + per-head-chunk kernels above
+    # S=384 (the single kernel's unrolled heads spill past chip VMEM).
     if use_kernel is None:
         S_in = input_ids.shape[0]
-        all_bf16 = matmul_precision == "bfloat16" and attn_precision is None
         use_kernel = (method == "transformer_attribution"
                       and jax.default_backend() == "tpu"
-                      and (S_in <= KERNEL_MAX_SEQ
-                           or (S_in <= KERNEL_MAX_SEQ_BF16 and all_bf16))
+                      and S_in <= KERNEL_MAX_SEQ
                       and matmul_precision in ("bfloat16", "tensorfloat32")
                       and variant == "ours" and alpha == 1.0)
     use_kernel = use_kernel and method == "transformer_attribution"
 
     logits, res = bert_mod.forward_collect(
         params, input_ids, attention_mask, cfg, use_kernel=use_kernel,
-        matmul_precision=matmul_precision, attn_precision=attn_precision)
+        matmul_precision=matmul_precision, attn_precision=attn_precision,
+        mlp_precision=mlp_precision)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_labels)
         # fused reverse scan (bert.reverse_pass): gradients + relprop share
@@ -86,7 +86,8 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
             params, res, onehot, cfg, alpha=alpha, variant=variant,
             need_grads=needs_grads, need_relprop=needs_relprop,
             relprop_precision=relprop_precision, use_kernel=use_kernel,
-            matmul_precision=matmul_precision, attn_precision=attn_precision)
+            matmul_precision=matmul_precision, attn_precision=attn_precision,
+            mlp_precision=mlp_precision)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -131,7 +132,8 @@ def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
                     variant: str = "ours",
                     matmul_precision: str = "float32",
                     relprop_precision: Optional[str] = None,
-                    attn_precision: Optional[str] = None):
+                    attn_precision: Optional[str] = None,
+                    mlp_precision: Optional[str] = None):
     """Jitted, vmapped ``fn(params, input_ids, attention_mask, indices)``.
 
     input_ids (B, S) int32; attention_mask (B, S); indices (B,) int32 with -1
@@ -146,7 +148,8 @@ def make_explain_fn(cfg: BertConfig, method: str = "transformer_attribution",
                                   start_layer, alpha, variant,
                                   relprop_precision,
                                   matmul_precision=matmul_precision,
-                                  attn_precision=attn_precision)
+                                  attn_precision=attn_precision,
+                                  mlp_precision=mlp_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0, 0)))
 
@@ -157,13 +160,15 @@ class BertExplainer:
     def __init__(self, params, cfg: BertConfig, variant: str = "ours",
                  matmul_precision: str = "float32",
                  relprop_precision: Optional[str] = None,
-                 attn_precision: Optional[str] = None):
+                 attn_precision: Optional[str] = None,
+                 mlp_precision: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.variant = variant
         self.matmul_precision = matmul_precision
         self.relprop_precision = relprop_precision
         self.attn_precision = attn_precision
+        self.mlp_precision = mlp_precision
         self._fns = {}
 
     def explain(self, input_ids, attention_mask,
@@ -188,7 +193,7 @@ class BertExplainer:
             self._fns[key] = make_explain_fn(
                 self.cfg, method, start_layer, alpha, self.variant,
                 self.matmul_precision, self.relprop_precision,
-                self.attn_precision)
+                self.attn_precision, self.mlp_precision)
         Bp = bucket_size(B)
         out = self._fns[key](self.params, pad_axis0(ids, Bp),
                              pad_axis0(mask, Bp), pad_axis0(idx, Bp))

@@ -194,7 +194,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
                     taps: Optional[Array] = None,
                     use_kernel: bool = False,
                     matmul_precision: str = "float32",
-                    attn_precision: Optional[str] = None
+                    attn_precision: Optional[str] = None,
+                    mlp_precision: Optional[str] = None
                     ) -> Tuple[Array, Residuals]:
     """Per-example forward; input_ids (S,) int32, attention_mask (S,) {0,1}.
     Returns (logits, residuals).
@@ -216,6 +217,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
     if use_kernel:
         assert taps is None, "taps are not supported on the kernel path"
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
+        mlp_mxu = (_mxu_name(mlp_precision, matmul_precision)
+                   if mlp_precision is not None else None)
         w_prep = pk.prepare_bert_weights(params["layers"], matmul_precision)
 
         # Python-unrolled layer loop (like the ViT megakernel path): inside
@@ -229,7 +232,7 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
             out, att_ln = pk.bert_layer_fwd_core(
                 x, ext_mask, lp_l, cfg.num_heads, cfg.head_dim,
                 cfg.layer_norm_eps, mxu=matmul_precision, attn_mxu=fwd_mxu,
-                ws=ws_l)
+                mlp_mxu=mlp_mxu, ws=ws_l)
             xs_l.append(x)
             atts_l.append(att_ln)
             x = out
@@ -453,7 +456,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  relprop_precision: Optional[str] = None,
                  use_kernel: bool = False,
                  matmul_precision: str = "float32",
-                 attn_precision: Optional[str] = None
+                 attn_precision: Optional[str] = None,
+                 mlp_precision: Optional[str] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """Fused reverse scan: class gradient w.r.t. every post-softmax attention
     map + LRP relevance, sharing one recompute per layer (see
@@ -490,6 +494,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         mxu = _mxu_name(None, matmul_precision)
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
+        mlp_mxu = (_mxu_name(mlp_precision, matmul_precision)
+                   if mlp_precision is not None else None)
         w_prep = pk.prepare_bert_weights(params["layers"], mxu)
         nsplit = len(w_prep) // 6 * 4     # attn weights end here
 
@@ -502,7 +508,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             ws_l = tuple(w[l] for w in w_prep)
             g_attln, R_att = pk.bert_out_rev_core(
                 res.att_lns[l], g_out, Rc, lp_l, cfg.layer_norm_eps,
-                mxu=mxu, rule_mxu=rule_mxu, ws=ws_l[nsplit:])
+                mxu=mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu,
+                ws=ws_l[nsplit:])
             g_out, Rc, gc_l[l] = pk.bert_attn_rev_core(
                 res.x_ins[l], g_attln, R_att, res.ext_mask, lp_l,
                 cfg.num_heads, cfg.head_dim, cfg.layer_norm_eps,

@@ -1003,20 +1003,25 @@ def _ln_bwd_math(g_y, x, s, eps):
 
 
 def _bert_out_rev_math(att_ln, g_out, R, lns, lnb, b_i, b_o, wi, wo, *,
-                       eps, mxu, rule_mxu):
+                       eps, mxu, rule_mxu, mlp_mxu=None):
     """Output sub-block reverse: LN(dense2 + att_ln) backward + the add
-    split, both Linear rules and the clone merge. Returns (g_attln, R_att)."""
+    split, both Linear rules and the clone merge. Returns (g_attln, R_att).
+
+    ``mlp_mxu``: optional override for the four inter/out dense fwd/bwd
+    dots (None = ``mxu``) — the BERT analog of the ViT MLP-precision
+    island (see :func:`_mlp_rev_math` / PERF.md round 2c)."""
+    mmx = mlp_mxu or mxu
     del lnb  # LN bias does not enter the backward/rules
-    inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mxu)
+    inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mmx)
     inter_pre = inter_pre_nb + b_i
     inter_g = _gelu_exact(inter_pre)
-    dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mxu)
+    dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mmx)
     dense2 = dense2_nb + b_o
 
     g_sum2 = _ln_bwd_math(g_out, dense2 + att_ln, lns, eps)
-    g_ig = _kdot(g_sum2, wo, ((1,), (1,)), mxu)
+    g_ig = _kdot(g_sum2, wo, ((1,), (1,)), mmx)
     g_h1 = g_ig * _gelu_grad(inter_pre)
-    g_attln = g_sum2 + _kdot(g_h1, wi, ((1,), (1,)), mxu)
+    g_attln = g_sum2 + _kdot(g_h1, wi, ((1,), (1,)), mmx)
 
     R1, R2 = _add_rule_math(dense2, att_ln, R)
     R1 = _linear_rule_math(inter_g, wo, R1, dense2_nb, rule_mxu)
@@ -1317,7 +1322,8 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
 
 def _bert_fwd_math(x_in, mask_row, ln1s, ln1b, ln2s, ln2b,
                    bq, bk, bv, bo, b_i, b_o2, wq, wk, wv, wao, wi, wo, *,
-                   num_heads, head_dim, eps, mxu, attn_mxu, unroll=False):
+                   num_heads, head_dim, eps, mxu, attn_mxu, mlp_mxu=None,
+                   unroll=False):
     """One BERT encoder layer forward; returns (out, att_ln).
 
     ``unroll=True`` (the Mosaic kernel path): static Python head loop over
@@ -1349,10 +1355,11 @@ def _bert_fwd_math(x_in, mask_row, ln1s, ln1b, ln2s, ln2b,
         ctx_h = jax.lax.fori_loop(0, h, fwd_body,
                                   jnp.zeros((h, S, d), x_in.dtype))
         ctx = ctx_h.transpose(1, 0, 2).reshape(S, h * d)
+    mmx = mlp_mxu or mxu
     dense_out = _kdot(ctx, wao, ((1,), (0,)), mxu) + bo
     att_ln, _, _ = _ln_fwd(dense_out + x_in, ln1s, ln1b, eps)
-    inter_g = _gelu_exact(_kdot(att_ln, wi, ((1,), (0,)), mxu) + b_i)
-    dense2 = _kdot(inter_g, wo, ((1,), (0,)), mxu) + b_o2
+    inter_g = _gelu_exact(_kdot(att_ln, wi, ((1,), (0,)), mmx) + b_i)
+    dense2 = _kdot(inter_g, wo, ((1,), (0,)), mmx) + b_o2
     out, _, _ = _ln_fwd(dense2 + att_ln, ln2s, ln2b, eps)
     return out, att_ln
 
@@ -1368,7 +1375,7 @@ def prepare_bert_weights(layers: dict, mxu: str):
     return tuple(flat)
 
 
-def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, paired):
+def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, mlp_mxu, paired):
     att_ln_ref, g_out_ref, R_ref, lns_ref, lnb_ref, bi_ref, bo_ref = refs[:7]
     g_ref, Ra_ref = refs[-2:]
     w = refs[7:-2]
@@ -1378,13 +1385,15 @@ def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, paired):
         wi, wo = w[0][:], w[1][:]
     g_attln, R_att = _bert_out_rev_math(
         att_ln_ref[:], g_out_ref[:], R_ref[:], lns_ref[:], lnb_ref[:],
-        bi_ref[:], bo_ref[:], wi, wo, eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+        bi_ref[:], bo_ref[:], wi, wo, eps=eps, mxu=mxu, rule_mxu=rule_mxu,
+        mlp_mxu=mlp_mxu)
     g_ref[:] = g_attln
     Ra_ref[:] = R_att
 
 
 def bert_out_rev_core(att_ln, g_out, R, lp, eps: float,
                       mxu: str = "bfloat16", rule_mxu: str = "bfloat16",
+                      mlp_mxu: Optional[str] = None,
                       use_pallas: Optional[bool] = None,
                       interpret: bool = False, ws: Optional[tuple] = None):
     """Fused output sub-block reverse; ``lp`` is the layer params dict.
@@ -1410,12 +1419,12 @@ def bert_out_rev_core(att_ln, g_out, R, lp, eps: float,
         else:
             wi, wo = w_flat
         return _bert_out_rev_math(*args, wi, wo, eps=eps, mxu=mxu,
-                                  rule_mxu=rule_mxu)
+                                  rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     return pl.pallas_call(
         functools.partial(_bert_out_rev_kernel, eps=eps, mxu=mxu,
-                          rule_mxu=rule_mxu, paired=paired),
+                          rule_mxu=rule_mxu, mlp_mxu=mlp_mxu, paired=paired),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 2,
@@ -1618,7 +1627,8 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
                              sums[0, 0], sums[0, 1], sums[0, 2], num_heads)
 
 
-def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu, paired):
+def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
+                     mlp_mxu, paired):
     (x_ref, mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bq_ref, bk_ref, bv_ref, bo_ref, bi_ref, bo2_ref) = refs[:12]
     nw = 12 if paired else 6
@@ -1632,7 +1642,7 @@ def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu, paired):
         x_ref[:], mask_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:],
         ln2b_ref[:], bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:],
         bi_ref[:], bo2_ref[:], *ws, num_heads=num_heads, head_dim=head_dim,
-        eps=eps, mxu=mxu, attn_mxu=attn_mxu, unroll=True)
+        eps=eps, mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, unroll=True)
     out_ref[:] = out
     attln_ref[:] = att_ln
 
@@ -1640,6 +1650,7 @@ def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu, paired):
 def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
                         eps: float, mxu: str = "bfloat16",
                         attn_mxu: str = "bfloat16",
+                        mlp_mxu: Optional[str] = None,
                         use_pallas: Optional[bool] = None,
                         interpret: bool = False, ws: Optional[tuple] = None):
     """ONE kernel for a full BERT encoder layer forward; returns
@@ -1666,7 +1677,7 @@ def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
             lp["inter"]["bias"][None].astype(dt),
             lp["out"]["bias"][None].astype(dt))
     kw = dict(num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
-              attn_mxu=attn_mxu)
+              attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
     if not use_pallas and not interpret:
         wp = _pair_weights(w_flat, paired)
         return _bert_fwd_math(*args, *wp, **kw)
