@@ -190,6 +190,38 @@ def test_mlp_rev_core_interpret_matches_jnp():
         jax.config.update("jax_enable_x64", False)
 
 
+def test_mlp_rev_core_chunked_matches_one_shot():
+    """The M-chunked form (f32-HIGHEST's VMEM-fitting path) is the same
+    math as the one-shot kernel, re-associated: f64 interpret, tight tol
+    (only the chunk-sum reassociation differs)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import mlp_rev_core
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.RandomState(9)
+        n, D, M = 19, 16, 40
+        x_mid = jnp.asarray(rng.randn(n, D))
+        g_out = jnp.asarray(rng.randn(n, D))
+        R = jnp.asarray(rng.randn(n, D))
+        ln = {"scale": jnp.asarray(1 + 0.1 * rng.randn(D)),
+              "bias": jnp.asarray(0.1 * rng.randn(D))}
+        bp = {"fc1": {"kernel": jnp.asarray(rng.randn(D, M) * 0.2),
+                      "bias": jnp.asarray(0.1 * rng.randn(M))},
+              "fc2": {"kernel": jnp.asarray(rng.randn(M, D) * 0.2),
+                      "bias": jnp.asarray(0.1 * rng.randn(D))}}
+        kw = dict(use_pallas=True, interpret=True)
+        want = mlp_rev_core(x_mid, g_out, R, ln, bp, 1e-6, m_chunks=0, **kw)
+        for mc in (2, 4, 5):
+            got = mlp_rev_core(x_mid, g_out, R, ln, bp, 1e-6, m_chunks=mc,
+                               **kw)
+            for g, w, name in zip(got, want, ["g_mid", "R_mid"]):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-9, atol=1e-12,
+                                           err_msg=f"mc={mc} {name}")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_mlp_rev_core_jnp_matches_fused_step():
     """The jnp fallback must equal the exact ops of the non-kernel fused
     step (block_backward MLP half + the rule library) on random f32 data."""
@@ -331,6 +363,72 @@ def test_kdot_tensorfloat32_precision_sandwich():
     got = _kdot(a, _split_hi_lo(w), ((1,), (0,)), "bfloat16")
     want = _kdot(a, w, ((1,), (0,)), "bfloat16")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_kdot_float32_triple_precision_sandwich():
+    """Emulated f32-HIGHEST (bf16×6 with a pre-split (hi, mid, lo) weight
+    triple) is ~two orders tighter than emulated tf32, and a triple
+    downgrades exactly: its (hi, mid) prefix IS the tf32 pair, its hi IS
+    the bf16 cast."""
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        _kdot, _split3, _split_hi_lo, _kabs)
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randn(128, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 128).astype(np.float32))
+    exact = np.asarray(_kdot(a, w, ((1,), (0,)), "float32")).astype(np.float64)
+    trip = _split3(w)
+
+    def relerr(y):
+        return np.abs(np.asarray(y).astype(np.float64) - exact).max() \
+            / np.abs(exact).max()
+
+    e_6x = relerr(_kdot(a, trip, ((1,), (0,)), "float32"))
+    e_tf32 = relerr(_kdot(a, w, ((1,), (0,)), "tensorfloat32"))
+    assert e_6x < 1e-6, e_6x
+    assert e_tf32 > 5 * e_6x, (e_tf32, e_6x)
+    # the triple reconstructs w exactly (8+8+8 mantissa bits >= f32's 24)
+    rec = sum(np.asarray(t.astype(jnp.float32)) for t in trip)
+    np.testing.assert_array_equal(rec, np.asarray(w))
+    # downgrades: tf32 on a triple == tf32 on the pair; bf16 uses hi alone
+    pair = _split_hi_lo(w)
+    np.testing.assert_array_equal(
+        np.asarray(_kdot(a, trip, ((1,), (0,)), "tensorfloat32")),
+        np.asarray(_kdot(a, pair, ((1,), (0,)), "tensorfloat32")))
+    np.testing.assert_array_equal(
+        np.asarray(_kdot(a, trip, ((1,), (0,)), "bfloat16")),
+        np.asarray(_kdot(a, w, ((1,), (0,)), "bfloat16")))
+    # triple abs decomposition reconstructs |w| exactly
+    arec = sum(np.asarray(t.astype(jnp.float32)) for t in _kabs(trip))
+    np.testing.assert_array_equal(arec, np.abs(np.asarray(w)))
+
+
+def test_mlp_rev_core_f32_triple_kernel_close_to_xla():
+    """The f32-HIGHEST MLP kernel (triple-split weights, interpret mode, f32
+    data) tracks the exact-f32 jnp fallback to f32-class accuracy on the
+    gradient side (the relevance side goes through safe_divide chaos, so
+    only correlation is asserted)."""
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        mlp_rev_core, _mlp_rev_core_jnp)
+    rng = np.random.RandomState(11)
+    n, D, M = 32, 24, 48
+    x_mid = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    R = jnp.asarray(rng.randn(n, D).astype(np.float32))
+    ln = {"scale": jnp.asarray((1 + 0.1 * rng.randn(D)).astype(np.float32)),
+          "bias": jnp.asarray((0.1 * rng.randn(D)).astype(np.float32))}
+    bp = {"fc1": {"kernel": jnp.asarray(rng.randn(D, M).astype(np.float32) * .2),
+                  "bias": jnp.asarray((0.1 * rng.randn(M)).astype(np.float32))},
+          "fc2": {"kernel": jnp.asarray(rng.randn(M, D).astype(np.float32) * .2),
+                  "bias": jnp.asarray((0.1 * rng.randn(D)).astype(np.float32))}}
+    want = _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, 1e-6, "ours", 1.0)
+    for mc in (0, 4):
+        got = mlp_rev_core(x_mid, g_out, R, ln, bp, 1e-6, mxu="float32",
+                           rule_mxu="float32", use_pallas=True,
+                           interpret=True, m_chunks=mc)
+        g, wg = np.asarray(got[0]), np.asarray(want[0])
+        assert np.abs(g - wg).max() / np.abs(wg).max() < 1e-5
+        r, wr = np.asarray(got[1]).ravel(), np.asarray(want[1]).ravel()
+        assert np.corrcoef(r, wr)[0, 1] > 0.99
 
 
 def test_kabs_pair_matches_abs():

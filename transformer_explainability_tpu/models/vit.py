@@ -636,9 +636,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         assert fuse_grad_cam, "the kernel path implements the fused method"
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
-        # the MLP/whole-block kernels run bf16 (1-pass) or emulated-tf32
-        # (3-pass bf16×3 weight pairs) dots; their f32-HIGHEST forms
-        # (resident f32 weights + |W| temps) overflow scoped VMEM
+        # the MLP kernel runs bf16 (1-pass) or emulated-tf32 (3-pass bf16×3
+        # weight pairs) dots. An f32-HIGHEST form exists (bf16×6 triple-split
+        # weights + M-chunking, pk.mlp_rev_core) and is f32-accurate, but
+        # measured SLOWER end-to-end than leaving the f32 MLP to XLA
+        # (127.9 vs 143.6 expl/s — XLA's HIGHEST pipeline beats the
+        # in-kernel 6-dot emulation at these shapes), so f32 keeps the XLA
+        # MLP; see PERF.md round 2d.
         kernel_modes = (("bfloat16",) if _NO_BLOCK_KERNEL
                         else ("bfloat16", "tensorfloat32"))
         use_mlp_kernel = (matmul_precision in kernel_modes
@@ -696,8 +700,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                 # backward, add2 + both α-β rules + clone) in ONE kernel
                 g_mid, Rm = pk.mlp_rev_core(
                     x_mid, g_out, Rc, bp["norm2"], bp, cfg.block_ln_eps,
-                    mxu=mlp_mxu, rule_mxu=rule_mxu, variant=variant,
-                    alpha=alpha)
+                    mxu=mlp_only_mxu or mlp_mxu, rule_mxu=rule_mxu,
+                    variant=variant, alpha=alpha)
             else:
                 xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
                 fc1_pre = xn2 @ bp["fc1"]["kernel"]

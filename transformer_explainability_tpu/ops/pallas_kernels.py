@@ -165,15 +165,38 @@ def _split_hi_lo(x):
     return hi_f32.astype(jnp.bfloat16), (xf - hi_f32).astype(jnp.bfloat16)
 
 
+def _bf16_head_f32(xf):
+    """bf16-rne head of an f32 array, kept in f32 (bit-trick; see
+    :func:`_split_hi_lo` for why not a convert round-trip)."""
+    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    rne = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rne, jnp.float32)
+
+
+def _split3(x):
+    """Three-way bf16 decomposition: x ≈ hi + mid + lo (8+8+8 mantissa bits
+    covers f32's 24). Feeds the in-kernel bf16×6 emulation of f32-HIGHEST
+    dots (see :func:`_kdot`)."""
+    xf = x.astype(jnp.float32)
+    hi = _bf16_head_f32(xf)
+    r1 = xf - hi                               # exact (Sterbenz-style)
+    mid = _bf16_head_f32(r1)
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            (r1 - mid).astype(jnp.bfloat16))
+
+
 def _kabs(w):
-    """abs that understands (hi, lo) weight pairs: |hi + lo| decomposed as
-    (|hi|, sign(hi)·lo) — exact wherever sign(hi) == sign(w), i.e. everywhere
-    the 8-bit bf16 mantissa doesn't round w across zero (|lo| ≤ ulp(hi)/2,
-    so a sign flip needs hi == 0, where both parts are ~denormal anyway).
-    The sign test compares in f32 — Mosaic has no bf16 vector compare."""
+    """abs that understands (hi, lo[, …]) weight splits: |Σ parts| decomposed
+    as (|hi|, sign(hi)·rest…) — exact wherever sign(hi) == sign(w), i.e.
+    everywhere the 8-bit bf16 mantissa doesn't round w across zero
+    (|tail| ≤ ulp(hi)/2, so a sign flip needs hi == 0, where all parts are
+    ~denormal anyway). The sign test compares in f32 — Mosaic has no bf16
+    vector compare."""
     if isinstance(w, tuple):
-        hi, lo = w
-        return jnp.abs(hi), jnp.where(hi.astype(jnp.float32) < 0, -lo, lo)
+        hi = w[0]
+        neg = hi.astype(jnp.float32) < 0
+        return (jnp.abs(hi),) + tuple(jnp.where(neg, -t, t) for t in w[1:])
     return jnp.abs(w)
 
 
@@ -202,10 +225,23 @@ def _kdot(a, b, dims, mxu: str):
         # XLA's tf32-on-TPU algorithm (bf16_3x): drop only the lo·lo term
         a_hi, a_lo = _split_hi_lo(a.astype(jnp.float32) if a_dt
                                   == jnp.float64 else a)
-        b_hi, b_lo = b if paired else _split_hi_lo(
+        b_hi, b_lo = b[:2] if paired else _split_hi_lo(
             b.astype(jnp.float32) if b.dtype == jnp.float64 else b)
         return (d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))).astype(acc)
-    assert not paired, "HIGHEST dots take unsplit operands"
+    if paired:
+        # f32-HIGHEST via bf16×6 with a PRE-SPLIT (hi, mid, lo) weight
+        # triple: an in-kernel HIGHEST dot on a big f32 weight makes Mosaic
+        # split the operand per dot site, and those per-site splits blow up
+        # the register allocator (measured: ~127 MiB of spill slots in the
+        # f32 MLP kernel regardless of chunking). The activation side is
+        # split in-kernel (small operand). Products below 2^-16 significance
+        # (m·l, l·m, l·l) are dropped — the same term set as XLA's bf16_6x.
+        assert len(b) == 3, "HIGHEST emulation takes (hi, mid, lo) weights"
+        a_hi, a_mid, a_lo = _split3(a)
+        b_hi, b_mid, b_lo = b
+        return (((d(a_hi, b_lo) + d(a_lo, b_hi) + d(a_mid, b_mid))
+                 + (d(a_hi, b_mid) + d(a_mid, b_hi)))
+                + d(a_hi, b_hi)).astype(acc)
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=acc,
                                precision=jax.lax.Precision.HIGHEST)
@@ -509,21 +545,119 @@ def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
     return g_mid, Rm
 
 
+def _mlp_rev_math_chunked(x_mid, g_out, R, s, b, b1_chunks, b2, w1, w2, *,
+                          eps: float, mxu: str, rule_mxu: str,
+                          m_chunks: int):
+    """:func:`_mlp_rev_math` restructured as a static Python loop over
+    ``m_chunks`` column chunks of the intermediate dim M.
+
+    Same math, re-associated: the (n, M) intermediates and the |W| temps
+    that overflow scoped VMEM in the one-shot f32 form never materialize —
+    only per-chunk (n, M/c)/(D, M/c) slices plus the persisted fc1
+    pre-activations (one (n, M)-equivalent) live at once. This is what lets
+    the f32-HIGHEST (exact-parity) mode run the MLP half in-kernel; chunk
+    sums accumulate in the activation dtype (f32), i.e. the usual f32
+    reassociation, nothing coarser."""
+    dt = x_mid.dtype
+    half = jnp.asarray(0.5, dt)
+    M = (w1[0] if isinstance(w1, tuple) else w1).shape[1]
+    assert M % m_chunks == 0, (M, m_chunks)
+    C = M // m_chunks
+    # the fc1 bias arrives pre-sliced into per-chunk (1, C) operands, each
+    # at lane offset 0: Mosaic cannot broadcast a (1, C) column slice
+    # carrying a non-zero implicit lane offset ("Invalid input layout" on
+    # vector.broadcast), and it folds slice-of-broadcast right back into
+    # broadcast-of-slice, so in-kernel repair is impossible
+    assert len(b1_chunks) == m_chunks
+
+    xn2, mu, inv = _ln_fwd(x_mid, s, b, eps)
+    axn2 = jnp.abs(xn2)
+
+    # phase 1: fc1/gelu/fc2 recompute + backward, accumulated over chunks;
+    # fc1 pre-activations persist for phase 2 (small: one (n, M) f32)
+    fc2_pre = jnp.zeros_like(g_out)
+    axw2 = jnp.zeros_like(g_out)
+    g_xn2 = jnp.zeros_like(g_out)
+    fc1_pres = []
+    def _cols(w, c):
+        sl = slice(c * C, (c + 1) * C)
+        return (tuple(p[:, sl] for p in w) if isinstance(w, tuple)
+                else w[:, sl])
+
+    def _rows(w, c):
+        sl = slice(c * C, (c + 1) * C)
+        return (tuple(p[sl, :] for p in w) if isinstance(w, tuple)
+                else w[sl, :])
+
+    for c in range(m_chunks):
+        w1_c = _cols(w1, c)
+        w2_c = _rows(w2, c)
+        fc1_pre_c = _kdot(xn2, w1_c, ((1,), (0,)), mxu)
+        h1_c = fc1_pre_c + b1_chunks[c]
+        hg_c = _gelu_exact(h1_c)
+        fc2_pre = fc2_pre + _kdot(hg_c, w2_c, ((1,), (0,)), mxu)
+        axw2 = axw2 + _kdot(jnp.abs(hg_c), _kabs(w2_c), ((1,), (0,)),
+                            rule_mxu)
+        g_hg_c = _kdot(g_out, w2_c, ((1,), (1,)), mxu)
+        g_h1_c = g_hg_c * _gelu_grad(h1_c)
+        g_xn2 = g_xn2 + _kdot(g_h1_c, w1_c, ((1,), (1,)), mxu)
+        fc1_pres.append(fc1_pre_c)
+    mlp_out = fc2_pre + b2
+
+    gg = g_xn2 * s
+    xhat = (x_mid - mu) * inv
+    g_ln = inv * (gg - gg.mean(axis=-1, keepdims=True)
+                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
+    g_mid = g_out + g_ln
+
+    Ca, Cb = _add_rule_math(x_mid, mlp_out, R)
+    Sr = _ksafe_divide(Cb, half * (fc2_pre + axw2))
+
+    # phase 2: fc2 rule scatter, fc1 rule gather, accumulated over chunks
+    num_w = jnp.zeros_like(g_out)
+    num_a = jnp.zeros_like(g_out)
+    for c in range(m_chunks):
+        w1_c = _cols(w1, c)
+        w2_c = _rows(w2, c)
+        aw1_c = _kabs(w1_c)
+        fc1_pre_c = fc1_pres[c]
+        hg_c = _gelu_exact(fc1_pre_c + b1_chunks[c])
+        ahg_c = jnp.abs(hg_c)
+        R2_c = half * (hg_c * _kdot(Sr, w2_c, ((1,), (1,)), rule_mxu)
+                       + ahg_c * _kdot(Sr, _kabs(w2_c), ((1,), (1,)),
+                                       rule_mxu))
+        axw1_c = _kdot(axn2, aw1_c, ((1,), (0,)), rule_mxu)
+        S1_c = _ksafe_divide(R2_c, half * (fc1_pre_c + axw1_c))
+        num_w = num_w + _kdot(S1_c, w1_c, ((1,), (1,)), rule_mxu)
+        num_a = num_a + _kdot(S1_c, aw1_c, ((1,), (1,)), rule_mxu)
+    R2b = half * (xn2 * num_w + axn2 * num_a)
+
+    Rm = x_mid * _ksafe_divide(Ca + R2b, x_mid)
+    return g_mid, Rm
+
+
 def _mlp_rev_kernel(*refs, eps: float, mxu: str, rule_mxu: str,
-                    paired: bool):
-    (x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref,
-     b1_ref, b2_ref) = refs[:7]
+                    wsplit: int, m_chunks: int = 0):
+    (x_mid_ref, g_out_ref, R_ref, ln_s_ref, ln_b_ref) = refs[:5]
+    nb = max(m_chunks, 1)      # fc1 bias: whole, or one (1, C) ref per chunk
+    b1_refs = refs[5:5 + nb]
+    b2_ref = refs[5 + nb]
     g_mid_ref, Rm_ref = refs[-2:]
-    w_refs = refs[7:-2]
-    if paired:
-        w1 = (w_refs[0][:], w_refs[1][:])
-        w2 = (w_refs[2][:], w_refs[3][:])
+    w_refs = refs[6 + nb:-2]
+    if wsplit > 1:             # (hi, lo) pair or (hi, mid, lo) triple
+        w1 = tuple(r[:] for r in w_refs[:wsplit])
+        w2 = tuple(r[:] for r in w_refs[wsplit:])
     else:
         w1, w2 = w_refs[0][:], w_refs[1][:]
-    g_mid, Rm = _mlp_rev_math(
-        x_mid_ref[:], g_out_ref[:], R_ref[:], ln_s_ref[:], ln_b_ref[:],
-        b1_ref[:], b2_ref[:], w1, w2,
-        eps=eps, mxu=mxu, rule_mxu=rule_mxu)
+    common = (x_mid_ref[:], g_out_ref[:], R_ref[:], ln_s_ref[:], ln_b_ref[:])
+    if m_chunks > 1:
+        g_mid, Rm = _mlp_rev_math_chunked(
+            *common, tuple(r[:] for r in b1_refs), b2_ref[:], w1, w2,
+            eps=eps, mxu=mxu, rule_mxu=rule_mxu, m_chunks=m_chunks)
+    else:
+        g_mid, Rm = _mlp_rev_math(
+            *common, b1_refs[0][:], b2_ref[:], w1, w2,
+            eps=eps, mxu=mxu, rule_mxu=rule_mxu)
     g_mid_ref[:] = g_mid
     Rm_ref[:] = Rm
 
@@ -565,12 +699,18 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
                  mxu: str = "float32", rule_mxu: str = "float32",
                  variant: str = "ours", alpha: float = 1.0,
                  use_pallas: Optional[bool] = None,
-                 interpret: bool = False):
+                 interpret: bool = False,
+                 m_chunks: Optional[int] = None):
     """Fused MLP half of the reverse step: returns (g_mid, R_mid).
 
     x_mid/g_out/R: (n, D); ``ln``: norm2 {scale, bias}; ``bp``: block params
     holding fc1/fc2 {kernel, bias}. Kernel path requires variant="ours",
     alpha=1 (falls back to jnp otherwise).
+
+    ``m_chunks``: split the intermediate dim into this many column chunks
+    (static Python loop) so the working set fits scoped VMEM. Default: 4 in
+    f32-HIGHEST mode (the one-shot form's (n, M) temps + |W| copies
+    overflow), 0 (one-shot) for bf16/tf32.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -580,22 +720,47 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
     n, D = x_mid.shape
     dt = jnp.float64 if x_mid.dtype == jnp.float64 else jnp.float32
-    # weights enter in the *forward* dot dtype (or as (hi, lo) bf16 pairs
-    # for emulated tf32); rule-side casts/abs happen in VMEM
-    w_flat, paired = _flatten_weights(
-        [bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
+    M = bp["fc1"]["kernel"].shape[1]
+    if m_chunks is None:
+        m_chunks = 0 if mxu in ("bfloat16", "tensorfloat32") else 4
+    if m_chunks > 1 and M % m_chunks != 0:
+        m_chunks = 0                      # ragged M: one-shot form
+    # the fc1 bias enters whole (one-shot) or pre-sliced per chunk — each
+    # slice lands in VMEM at lane offset 0 (see _mlp_rev_math_chunked)
+    b1 = bp["fc1"]["bias"][None].astype(dt)
+    if m_chunks > 1:
+        C = M // m_chunks
+        b1_ops = [b1[:, c * C:(c + 1) * C] for c in range(m_chunks)]
+    else:
+        b1_ops = [b1]
+    # weights enter in the *forward* dot dtype, as (hi, lo) bf16 pairs for
+    # emulated tf32, or as (hi, mid, lo) triples for emulated f32-HIGHEST
+    # (f64 — interpret-mode tests — keeps true HIGHEST dots on unsplit
+    # operands); rule-side casts/abs happen in VMEM
+    wk = [bp["fc1"]["kernel"], bp["fc2"]["kernel"]]
+    if dt == jnp.float32 and mxu not in ("bfloat16", "tensorfloat32"):
+        w_flat = [part for w in wk for part in _split3(w)]
+        wsplit = 3
+    else:
+        w_flat, paired = _flatten_weights(wk, mxu)
+        wsplit = 2 if paired else 1
+    n_in = 6 + len(b1_ops) + len(w_flat)
     outs = pl.pallas_call(
         functools.partial(_mlp_rev_kernel, eps=eps, mxu=mxu,
-                          rule_mxu=rule_mxu, paired=paired),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(w_flat)),
+                          rule_mxu=rule_mxu, wsplit=wsplit,
+                          m_chunks=m_chunks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt)],
-        compiler_params=_vmem_params(interpret),
+        # the triple-split f32 form peaks ~96.4 MiB under vmap's
+        # double-buffered batch grid — give it the headroom (v5e: 128 MiB)
+        compiler_params=_vmem_params(interpret,
+                                     mib=112 if wsplit == 3 else 96),
         interpret=interpret,
     )(x_mid.astype(dt), g_out.astype(dt), R.astype(dt),
       ln["scale"][None].astype(dt), ln["bias"][None].astype(dt),
-      bp["fc1"]["bias"][None].astype(dt), bp["fc2"]["bias"][None].astype(dt),
+      *b1_ops, bp["fc2"]["bias"][None].astype(dt),
       *w_flat)
     return outs[0], outs[1]
 
