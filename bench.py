@@ -88,8 +88,10 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
 
+    # 96 is the measured sweet spot with the megakernels (410.5 vs 401.5 at
+    # 64, 407.5 at 128 — PERF.md); 64 stays as the fallback
     batch_candidates = [int(b) for b in
-                        os.environ.get("BENCH_BATCHES", "64,32").split(",")]
+                        os.environ.get("BENCH_BATCHES", "96,64").split(",")]
 
     best = _bench_mode(cfg, params, rng, precision, relprop_precision,
                        attn_precision, batch_candidates,
