@@ -1024,7 +1024,9 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, n), dt)],
-        compiler_params=_vmem_params(interpret),
+        # ViT-L (D=1024, MLP 4096) peaks ~120.3 MiB scoped; ViT-B stays
+        # under the 96 MiB default (v5e VMEM: 128 MiB)
+        compiler_params=_vmem_params(interpret, mib=96 if D <= 768 else 121),
         interpret=interpret,
     )(x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt), g_out.astype(dt),
       R.astype(dt), args["ln1s"], args["ln1b"], args["ln2s"], args["ln2b"],
