@@ -58,6 +58,28 @@ def test_seg_eval_end_to_end(tiny_params, tmp_path):
     assert any(n.startswith("result_mIoU_") for n in names)
 
 
+def test_seg_eval_precision_presets(tiny_params):
+    """--precision plumbing: the named presets resolve to the documented
+    make_explain_fn kwargs, run end-to-end, and float32 == the default."""
+    from transformer_explainability_tpu.explain.generator import (
+        PRECISION_PRESETS, precision_kwargs)
+    assert precision_kwargs("production") == dict(
+        matmul_precision="tensorfloat32", relprop_precision="bfloat16",
+        attn_precision="float32", mlp_precision="bfloat16")
+    with pytest.raises(ValueError):
+        precision_kwargs("fp8")
+    ds = _SynthSegDataset(n=2, size=TINY.img_size)
+    kw = dict(method="transformer_attribution", batch_size=2, progress=False)
+    want = seg_mod.run_seg_eval(ds, tiny_params, TINY, **kw)
+    same = seg_mod.run_seg_eval(ds, tiny_params, TINY, precision="float32",
+                                **kw)
+    assert same == want
+    for preset in ("production", "bfloat16"):
+        res = seg_mod.run_seg_eval(ds, tiny_params, TINY, precision=preset,
+                                   **kw)
+        assert np.isfinite(list(res.values())).all(), (preset, res)
+
+
 def test_seg_full_lrp_method(tiny_params):
     ds = _SynthSegDataset(n=2, size=TINY.img_size)
     res = seg_mod.run_seg_eval(ds, tiny_params, TINY, method="full_lrp",

@@ -61,19 +61,24 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
                  is_ablation: bool = False, limit: Optional[int] = None,
                  save_dir: Optional[str] = None,
                  explain_fn=None, progress: bool = True,
-                 save_images: int = 0, mesh=None) -> Dict[str, float]:
+                 save_images: int = 0, mesh=None,
+                 precision: str = "float32") -> Dict[str, float]:
     """Evaluate a heatmap method against the 4276-image ImageNet-seg GT.
 
     ``dataset`` yields/indexes (normalized image (3,224,224), label (224,224));
     ``explain_fn`` may override the compiled program; ``mesh`` (a
     ``jax.sharding.Mesh`` with a ``data`` axis) shards the explain batch over
     devices instead — SPMD scale-out, identical metrics (tested on the
-    virtual CPU mesh).
+    virtual CPU mesh). ``precision`` is a named preset
+    (explain.generator.PRECISION_PRESETS: float32 | production | bfloat16).
     Returns {pixAcc, mIoU, mAP, mF1} exactly as the reference prints them.
     """
     from transformer_explainability_tpu.data.imagenet_seg import batches
+    from transformer_explainability_tpu.explain.generator import (
+        precision_kwargs)
 
     expl_method, variant, start_layer = SEG_METHODS[method]
+    prec_kw = precision_kwargs(precision)
     if explain_fn is None and mesh is not None:
         from transformer_explainability_tpu.parallel.mesh import (
             make_sharded_explain_fn)
@@ -81,11 +86,12 @@ def run_seg_eval(dataset, params, cfg: ViTConfig = VIT_BASE_16_224,
             (batch_size, dict(mesh.shape))
         explain_fn = make_sharded_explain_fn(
             cfg, mesh, method=expl_method, start_layer=start_layer,
-            is_ablation=is_ablation, variant=variant)
+            is_ablation=is_ablation, variant=variant, **prec_kw)
     if explain_fn is None:
         explain_fn = make_explain_fn(cfg, method=expl_method,
                                      start_layer=start_layer,
-                                     is_ablation=is_ablation, variant=variant)
+                                     is_ablation=is_ablation, variant=variant,
+                                     **prec_kw)
 
     total_inter = np.zeros(2, np.int64)
     total_union = np.zeros(2, np.int64)
@@ -216,6 +222,12 @@ def main(argv=None):
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the explain batch over N devices (data axis); "
                         "0 = single-device")
+    p.add_argument("--precision", default="float32",
+                   choices=["float32", "production", "bfloat16"],
+                   help="precision preset: float32 = exact reference parity; "
+                        "production = the measured speed/fidelity sweet spot "
+                        "(tf32 passes, f32 attention island, bf16 rules/MLP "
+                        "— PERF.md); bfloat16 = fastest, fidelity-tolerant")
     args = p.parse_args(argv)
 
     cfg = VIT_BASE_16_224
@@ -235,7 +247,8 @@ def main(argv=None):
     results = run_seg_eval(ds, params, cfg, args.method, args.batch_size,
                            args.thr, args.is_ablation, args.limit,
                            os.path.join(args.save_dir, args.method),
-                           save_images=args.save_images, mesh=mesh)
+                           save_images=args.save_images, mesh=mesh,
+                           precision=args.precision)
     print("Mean IoU over 2 classes: %.4f" % results["mIoU"])
     print("Pixel-wise Accuracy: %2.2f%%" % (results["pixAcc"] * 100))
     print("Mean AP over 2 classes: %.4f" % results["mAP"])

@@ -44,26 +44,32 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                               vis_class: str = "top",
                               class_id: int = 0,
                               is_ablation: bool = False,
-                              explain_fn=None, mesh=None) -> int:
+                              explain_fn=None, mesh=None,
+                              precision: str = "float32") -> int:
     """data_iter yields (images (B,3,H,W) in [0,1] UNnormalized, targets (B,)).
 
     vis_class: 'top' (predicted class), 'target' (ground truth), or 'index'
     (fixed ``class_id``) — reference ``--vis-class`` (:66-68,136-140).
     ``mesh`` (a Mesh with a ``data`` axis) shards each explain batch over
-    devices (batch sizes must divide by the data-axis size).
+    devices (batch sizes must divide by the data-axis size). ``precision``
+    is a named preset (explain.generator.PRECISION_PRESETS).
     Returns the number of examples written.
     """
+    from transformer_explainability_tpu.explain.generator import (
+        precision_kwargs)
     expl_method, variant, start_layer = VIS_METHODS[method]
+    prec_kw = precision_kwargs(precision)
     if explain_fn is None and mesh is not None:
         from transformer_explainability_tpu.parallel.mesh import (
             make_sharded_explain_fn)
         explain_fn = make_sharded_explain_fn(
             cfg, mesh, method=expl_method, start_layer=start_layer,
-            is_ablation=is_ablation, variant=variant)
+            is_ablation=is_ablation, variant=variant, **prec_kw)
     if explain_fn is None:
         explain_fn = make_explain_fn(cfg, method=expl_method,
                                      start_layer=start_layer,
-                                     is_ablation=is_ablation, variant=variant)
+                                     is_ablation=is_ablation, variant=variant,
+                                     **prec_kw)
     g = cfg.grid
     n_written = 0
 
@@ -139,6 +145,10 @@ def main(argv=None):
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the explain batch over N devices (data axis); "
                         "0 = single-device")
+    p.add_argument("--precision", default="float32",
+                   choices=["float32", "production", "bfloat16"],
+                   help="precision preset (see explain.generator."
+                        "PRECISION_PRESETS / PERF.md)")
     args = p.parse_args(argv)
 
     cfg = VIT_BASE_16_224
@@ -169,7 +179,7 @@ def main(argv=None):
     n = compute_saliency_and_save(
         it, params, os.path.join(method_dir, "results.hdf5"), cfg,
         args.method, args.vis_class, args.class_id, args.is_ablation,
-        mesh=mesh)
+        mesh=mesh, precision=args.precision)
     print(f"wrote {n} examples to {method_dir}/results.hdf5")
 
 

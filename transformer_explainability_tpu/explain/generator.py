@@ -161,6 +161,33 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     raise ValueError(f"unknown method {method!r}")
 
 
+# Named precision presets for the explain path (CLI harnesses expose them
+# as --precision): "float32" = exact reference parity (6-pass MXU);
+# "production" = the measured speed/fidelity sweet spot — emulated-tf32
+# passes, f32 attention island, 1-pass bf16 LRP-rule and MLP dots (median
+# corr 0.9996 vs f64 ground truth, 410 expl/s/chip — PERF.md rounds 2b-2e);
+# "bfloat16" = fidelity-tolerant serving (1-pass everywhere).
+PRECISION_PRESETS = {
+    "float32": dict(matmul_precision="float32"),
+    "production": dict(matmul_precision="tensorfloat32",
+                       relprop_precision="bfloat16",
+                       attn_precision="float32",
+                       mlp_precision="bfloat16"),
+    "bfloat16": dict(matmul_precision="bfloat16"),
+}
+
+
+def precision_kwargs(preset: str) -> dict:
+    """Resolve a named preset (or a raw matmul precision name) to
+    make_explain_fn keyword arguments."""
+    if preset in PRECISION_PRESETS:
+        return dict(PRECISION_PRESETS[preset])
+    if preset in ("tensorfloat32",):
+        return dict(matmul_precision=preset)
+    raise ValueError(f"unknown precision preset {preset!r}; "
+                     f"available: {sorted(PRECISION_PRESETS)}")
+
+
 def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     start_layer: int = 0, is_ablation: bool = False,
                     alpha: float = 1.0, variant: str = "ours",

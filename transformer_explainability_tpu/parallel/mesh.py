@@ -109,17 +109,23 @@ def make_sharded_explain_fn(cfg: ViTConfig, mesh: Mesh,
                             method: str = "transformer_attribution",
                             start_layer: int = 0, is_ablation: bool = False,
                             alpha: float = 1.0, variant: str = "ours",
-                            matmul_precision: str = "float32"):
+                            matmul_precision: str = "float32",
+                            relprop_precision=None, attn_precision=None,
+                            mlp_precision=None):
     """Jitted explain over a mesh: images/indices sharded on ``data``, params
     laid out per :func:`vit_param_pspecs`, heatmaps sharded on ``data``.
 
     The per-image program is identical to the single-chip one; the mesh is
     pure SPMD scale-out (batch must be divisible by the data-axis size).
+    Precision knobs mirror :func:`explain.generator.make_explain_fn`.
     """
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):
             return gen.explain_single(params, img, index, cfg, method,
-                                      start_layer, is_ablation, alpha, variant)
+                                      start_layer, is_ablation, alpha, variant,
+                                      relprop_precision, attn_precision,
+                                      matmul_precision=matmul_precision,
+                                      mlp_precision=mlp_precision)
 
     batched = jax.vmap(single, in_axes=(None, 0, 0))
     pspecs = vit_param_pspecs(cfg)

@@ -295,12 +295,14 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
     call_name, variant = METHOD_TABLE[method]
     # tensorfloat32 routes transformer_attribution through the fused Pallas
     # layer kernels on TPU (explain_single's auto-gate) — ~10x the XLA f32
-    # throughput at S=512 at heatmap corr ~0.999
+    # throughput at S=512 at heatmap corr ~0.999. The tf32 preset also pins
+    # the attention island to f32 and drops the inter/out dense dots to
+    # 1-pass bf16 (+11% at ~3e-4 median corr cost — PERF.md BERT table).
+    tf32 = matmul_precision == "tensorfloat32"
     explainer = BertExplainer(params, cfg, variant=variant,
                               matmul_precision=matmul_precision,
-                              attn_precision=("float32"
-                                              if matmul_precision
-                                              == "tensorfloat32" else None))
+                              attn_precision="float32" if tf32 else None,
+                              mlp_precision="bfloat16" if tf32 else None)
     eval_step = make_eval_step(cfg)
     folder = os.path.join(output_dir, METHOD_FOLDER[method])
     os.makedirs(folder, exist_ok=True)
