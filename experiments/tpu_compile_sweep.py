@@ -33,6 +33,18 @@ MODES = {
 }
 
 
+_OUT_PATH = "/tmp/tpu_compile_sweep.json"
+
+
+def _record(results, key, val):
+    """Incremental dump: a relay tunnel can die mid-sweep (observed:
+    'Connection refused' after ~100 min) — never lose finished combos."""
+    results[key] = val
+    with open(_OUT_PATH, "w") as f:
+        json.dump(results, f, indent=1)
+    print(key, val, flush=True)
+
+
 def run_vit(name, cfg, B, mode_names, results):
     from transformer_explainability_tpu.models.vit import init_params
     from transformer_explainability_tpu.explain.generator import make_explain_fn
@@ -47,10 +59,10 @@ def run_vit(name, cfg, B, mode_names, results):
             fn = make_explain_fn(cfg, "transformer_attribution", **MODES[m])
             out = np.asarray(fn(params, imgs, idx))
             ok = bool(np.isfinite(out).all())
-            results[key] = {"ok": ok, "compile_s": round(time.perf_counter() - t0, 1)}
+            _record(results, key,
+                    {"ok": ok, "compile_s": round(time.perf_counter() - t0, 1)})
         except Exception as e:
-            results[key] = {"ok": False, "err": str(e)[:300]}
-        print(key, results[key], flush=True)
+            _record(results, key, {"ok": False, "err": str(e)[:300]})
 
 
 def run_bert(S, B, mode_names, results):
@@ -71,17 +83,19 @@ def run_bert(S, B, mode_names, results):
             fn = make_explain_fn(cfg, "transformer_attribution", **MODES[m])
             out = np.asarray(fn(params, ids, mask, idx))
             ok = bool(np.isfinite(out).all())
-            results[key] = {"ok": ok, "compile_s": round(time.perf_counter() - t0, 1)}
+            _record(results, key,
+                    {"ok": ok, "compile_s": round(time.perf_counter() - t0, 1)})
         except Exception as e:
-            results[key] = {"ok": False, "err": str(e)[:300]}
-        print(key, results[key], flush=True)
+            _record(results, key, {"ok": False, "err": str(e)[:300]})
 
 
 def main():
+    global _OUT_PATH
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--out", default="/tmp/tpu_compile_sweep.json")
+    ap.add_argument("--out", default=_OUT_PATH)
     args = ap.parse_args()
+    _OUT_PATH = args.out
     assert jax.default_backend() == "tpu", "sweep must run on the real chip"
 
     from transformer_explainability_tpu.models.registry import VIT_CONFIGS
@@ -100,8 +114,6 @@ def main():
         run_bert(512, 8, ["prod", "bf16", "f32"], results)
         run_bert(128, 8, ["prod"], results)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
     bad = {k: v for k, v in results.items() if not v["ok"]}
     print(f"\n{len(results) - len(bad)}/{len(results)} ok -> {args.out}")
     if bad:
