@@ -53,7 +53,12 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                    attn_precision: Optional[str] = None,
                    use_kernel: Optional[bool] = None,
                    mlp_precision: Optional[str] = None):
-    """Per-example BERT explanation. Returns an (S,) token-relevance row."""
+    """Per-example BERT explanation. Returns an (S,) token-relevance row.
+
+    ``mlp_precision`` overrides the inter/out dense dots on the fused-kernel
+    path only (TPU + transformer_attribution + tf32/bf16 passes); the XLA
+    fallback ignores it — see PERF.md's BERT table for the measured modes.
+    """
     if method not in METHODS:
         raise ValueError(
             f"unknown method {method!r}; available: {sorted(METHODS)}")

@@ -209,7 +209,8 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
     ``mlp_precision``: optional override for the fc1/fc2 forward/backward
     dots only (fidelity-tolerant: they sit outside the attention-gradient
     chain; "bfloat16" with tf32 elsewhere is the measured speed/fidelity
-    sweet spot — PERF.md).
+    sweet spot — PERF.md). Applies on the fused-kernel paths (TPU,
+    transformer_attribution); the pure-XLA fallback ignores it.
     """
 
     def single(params, img, index):
