@@ -140,6 +140,12 @@ def test_vis_class_modes(tiny_params, tmp_path):
             iter(it), tiny_params, out, TINY, method="rollout",
             vis_class=mode, class_id=3)
         assert n == 2
+    # --precision preset plumbing runs end-to-end
+    out = str(tmp_path / "prod.hdf5")
+    n = vis_mod.compute_saliency_and_save(
+        iter(it), tiny_params, out, TINY, method="transformer_attribution",
+        vis_class="top", precision="production")
+    assert n == 2
 
 
 @requires_reference
