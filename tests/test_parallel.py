@@ -47,6 +47,27 @@ def test_sharded_explain_data_only_mesh():
     assert np.isfinite(out).all()
 
 
+def test_sharded_explain_precision_kwargs():
+    """The island-precision knobs thread through the sharded program (the
+    harness --mesh + --precision combination)."""
+    from transformer_explainability_tpu.explain.generator import (
+        PRECISION_PRESETS)
+    params = init_params(jax.random.PRNGKey(2), CFG)
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randn(8, 3, 32, 32).astype(np.float32))
+    idx = jnp.full((8,), -1, jnp.int32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sp = shard_params(params, mesh, cfg=CFG)
+    fn = make_sharded_explain_fn(CFG, mesh, **PRECISION_PRESETS["production"])
+    out = np.asarray(fn(sp, imgs, idx))
+    assert out.shape == (8, CFG.num_patches) and np.isfinite(out).all()
+    # f32 preset == the default sharded program, bitwise
+    want = np.asarray(make_sharded_explain_fn(CFG, mesh)(sp, imgs, idx))
+    got = np.asarray(make_sharded_explain_fn(
+        CFG, mesh, **PRECISION_PRESETS["float32"])(sp, imgs, idx))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_train_step_sharded_loss_decreases():
     mesh = make_mesh(n_data=4, n_model=2)
     opt = train_mod.make_optimizer(lr=1e-3)
