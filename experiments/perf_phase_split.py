@@ -1,4 +1,6 @@
 """Perf experiment 1: phase split + XLA cost analysis at batch 64."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax
@@ -63,6 +65,3 @@ try:
     print("peak temp bytes:", getattr(ma, "temp_size_in_bytes", ma))
 except Exception as e:
     print("memory_analysis failed:", e)
-
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -431,6 +431,68 @@ def test_mlp_rev_core_f32_triple_kernel_close_to_xla():
         assert np.corrcoef(r, wr)[0, 1] > 0.99
 
 
+def test_islands_exceed_base_gating():
+    """Rule/MLP islands above the base pass precision cannot be served by
+    pre-split kernel weights; the explain path must fall back to XLA for
+    those combos instead of crashing on _kdot's HIGHEST-pair assert."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        islands_exceed_base)
+    from transformer_explainability_tpu.explain.generator import (
+        explain_single)
+    from transformer_explainability_tpu.models import vit as vit_mod
+
+    assert not islands_exceed_base("tensorfloat32", None, None)
+    assert not islands_exceed_base("tensorfloat32", "bfloat16")
+    assert islands_exceed_base("tensorfloat32", "float32")
+    assert islands_exceed_base("bfloat16", "tensorfloat32", None)
+    assert not islands_exceed_base("float32", "float32", "bfloat16")
+
+    # end-to-end: tf32 base + f32 rules on the kernel-structured path
+    # (use_attn_kernel=True exercises the same code the TPU runs, with the
+    # jnp math fallbacks) — previously AssertionError, now the XLA MLP/rule
+    # branch with raw f32 weights
+    cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                            depth=2, num_heads=4, num_classes=5)
+    params = vit_mod.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(3, 32, 32).astype(np.float32))
+    out = jax.jit(lambda p, im: explain_single(
+        p, im, jnp.int32(1), cfg, matmul_precision="tensorfloat32",
+        relprop_precision="float32", use_attn_kernel=True))(params, img)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bert_kernel_gate_respects_hidden_act():
+    """Non-GELU BERT configs must not auto-route through the fused kernels
+    (they hardcode exact GELU); an explicit use_kernel=True raises."""
+    import jax
+    from transformer_explainability_tpu.models import bert as bert_mod
+    from transformer_explainability_tpu.explain.bert_generator import (
+        explain_single)
+    cfg = bert_mod.BertConfig(vocab_size=50, hidden_size=24, num_layers=2,
+                              num_heads=4, intermediate_size=48,
+                              max_position_embeddings=32, num_labels=3,
+                              hidden_act="relu")
+    params = bert_mod.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 50, (16,)), jnp.int32)
+    mask = jnp.ones((16,), jnp.float32)
+    # auto-gate: runs the XLA path, finite output
+    out = explain_single(params, ids, mask, jnp.int32(0), cfg,
+                         matmul_precision="tensorfloat32")
+    assert np.isfinite(np.asarray(out)).all()
+    # an explicit kernel request on a relu config is clamped to the XLA
+    # path (same clamp as non-TA methods) — identical result, never the
+    # GELU-hardcoded kernels
+    out_k = explain_single(params, ids, mask, jnp.int32(0), cfg,
+                           matmul_precision="tensorfloat32", use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(out))
+    # the model-level kernel entry point itself is guarded
+    with pytest.raises(AssertionError, match="GELU"):
+        bert_mod.forward_collect(params, ids, mask, cfg, use_kernel=True)
+
+
 def test_kabs_pair_matches_abs():
     from transformer_explainability_tpu.ops.pallas_kernels import (
         _kabs, _split_hi_lo)

@@ -11,7 +11,7 @@ bilinear upsample exactly as the reference (:98-101).
 from __future__ import annotations
 
 import os
-from typing import Iterable, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,8 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                               class_id: int = 0,
                               is_ablation: bool = False,
                               explain_fn=None, mesh=None,
-                              precision: str = "float32") -> int:
+                              precision: str = "float32",
+                              batch_size: Optional[int] = None) -> int:
     """data_iter yields (images (B,3,H,W) in [0,1] UNnormalized, targets (B,)).
 
     vis_class: 'top' (predicted class), 'target' (ground truth), or 'index'
@@ -53,6 +54,9 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
     ``mesh`` (a Mesh with a ``data`` axis) shards each explain batch over
     devices (batch sizes must divide by the data-axis size). ``precision``
     is a named preset (explain.generator.PRECISION_PRESETS).
+    ``batch_size``: the compiled batch size; short batches (including a
+    short FIRST batch, e.g. --limit < --batch-size) are padded to it.
+    Defaults to the first yielded batch's size.
     Returns the number of examples written.
     """
     from transformer_explainability_tpu.explain.generator import (
@@ -70,14 +74,16 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                                      start_layer=start_layer,
                                      is_ablation=is_ablation, variant=variant,
                                      **prec_kw)
+    if mesh is not None and batch_size is not None:
+        assert batch_size % mesh.shape["data"] == 0, \
+            (batch_size, dict(mesh.shape))
     g = cfg.grid
     n_written = 0
 
-    batch_size = None
-
     def dispatched():
         # pipeline device dispatch against the gzip-compressed hdf5 writes;
-        # ragged final batches padded to the first batch's size (one compile)
+        # ragged batches (incl. a short first batch) padded to batch_size
+        # (one compile; a second costs minutes on a relay)
         nonlocal batch_size
         pending = None
         for images, targets in data_iter:
@@ -179,7 +185,7 @@ def main(argv=None):
     n = compute_saliency_and_save(
         it, params, os.path.join(method_dir, "results.hdf5"), cfg,
         args.method, args.vis_class, args.class_id, args.is_ablation,
-        mesh=mesh, precision=args.precision)
+        mesh=mesh, precision=args.precision, batch_size=args.batch_size)
     print(f"wrote {n} examples to {method_dir}/results.hdf5")
 
 

@@ -15,6 +15,7 @@ import numpy as np
 
 from transformer_explainability_tpu.models import bert as bert_mod
 from transformer_explainability_tpu.models.bert import BertConfig
+from transformer_explainability_tpu.ops import pallas_kernels as pk
 from transformer_explainability_tpu.ops import relprop as rp
 from transformer_explainability_tpu.ops import pallas_kernels as pk
 
@@ -76,8 +77,16 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                       and jax.default_backend() == "tpu"
                       and S_in <= KERNEL_MAX_SEQ
                       and matmul_precision in ("bfloat16", "tensorfloat32")
+                      # the fused cores hardcode exact GELU; any other
+                      # hidden_act must take the XLA path (same math, slower)
+                      and cfg.hidden_act == "gelu"
+                      # rule/MLP islands above the base pass can't be served
+                      # by the pre-split kernel weights — XLA path instead
+                      and not pk.islands_exceed_base(
+                          matmul_precision, relprop_precision, mlp_precision)
                       and variant == "ours" and alpha == 1.0)
-    use_kernel = use_kernel and method == "transformer_attribution"
+    use_kernel = (use_kernel and method == "transformer_attribution"
+                  and cfg.hidden_act == "gelu")
 
     logits, res = bert_mod.forward_collect(
         params, input_ids, attention_mask, cfg, use_kernel=use_kernel,

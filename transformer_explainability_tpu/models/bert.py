@@ -142,20 +142,24 @@ class LayerActs(NamedTuple):
 
 def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
                 ext_mask: Array, cfg: BertConfig,
-                tap: Optional[Array] = None
+                tap: Optional[Array] = None,
+                attn_precision: Optional[str] = None
                 ) -> Tuple[Array, Array, LayerActs]:
     """One encoder layer from its input. ``att_ln`` may be passed (relprop
     recompute path, bitwise equal to forward) or None to compute it.
-    Returns (att_ln, layer_out, acts)."""
+    ``attn_precision`` pins the QK^T/AV einsums (the precision-sensitive
+    island — same contract as vit._block_acts). Returns
+    (att_ln, layer_out, acts)."""
+    ap = attn_precision
     q = _heads(x_in @ lp["q"]["kernel"] + lp["q"]["bias"], cfg)
     k = _heads(x_in @ lp["k"]["kernel"] + lp["k"]["bias"], cfg)
     v = _heads(x_in @ lp["v"]["kernel"] + lp["v"]["bias"], cfg)
-    raw = jnp.einsum("hid,hjd->hij", q, k)
+    raw = jnp.einsum("hid,hjd->hij", q, k, precision=ap)
     scaled = raw / jnp.sqrt(jnp.asarray(cfg.head_dim, x_in.dtype))
     probs = jax.nn.softmax(scaled + ext_mask, axis=-1)
     if tap is not None:
         probs = probs + tap
-    ctx = _unheads(jnp.einsum("hij,hjd->hid", probs, v))
+    ctx = _unheads(jnp.einsum("hij,hjd->hid", probs, v, precision=ap))
     dense_out = ctx @ lp["attn_out"]["kernel"] + lp["attn_out"]["bias"]
     att_mid = dense_out + x_in
     if att_ln is None:
@@ -216,6 +220,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
 
     if use_kernel:
         assert taps is None, "taps are not supported on the kernel path"
+        assert cfg.hidden_act == "gelu", \
+            "the fused layer kernels hardcode exact GELU; use the XLA path"
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
         mlp_mxu = (_mxu_name(mlp_precision, matmul_precision)
                    if mlp_precision is not None else None)
@@ -245,7 +251,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
             # remat: see vit.forward_collect — backward recomputes layer
             # internals from the carried anchors.
             lp, tap = inp
-            att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap)
+            att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap,
+                                            attn_precision=attn_precision)
             return out, (x, att_ln, acts.probs)
 
         tap_seq = taps if taps is not None else jnp.zeros(
@@ -419,7 +426,8 @@ def _act_grad(pre: Array, name: str) -> Array:
 
 
 def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
-                   acts: LayerActs, lp: Params, cfg: BertConfig
+                   acts: LayerActs, lp: Params, cfg: BertConfig,
+                   attn_precision: Optional[str] = None
                    ) -> Tuple[Array, Array]:
     """Hand-written VJP of one encoder layer from saved activations: returns
     (g_in, g_probs) with g_probs the cotangent of the post-softmax attention
@@ -436,13 +444,14 @@ def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
                             cfg.layer_norm_eps)
     g_ctx = g_sum1 @ lp["attn_out"]["kernel"].T
     g_o = _heads(g_ctx, cfg)
-    g_probs = jnp.einsum("hid,hjd->hij", g_o, acts.v)
-    g_v = jnp.einsum("hij,hid->hjd", acts.probs, g_o)
+    ap = attn_precision
+    g_probs = jnp.einsum("hid,hjd->hij", g_o, acts.v, precision=ap)
+    g_v = jnp.einsum("hij,hid->hjd", acts.probs, g_o, precision=ap)
     inner = (g_probs * acts.probs).sum(axis=-1, keepdims=True)
     g_raw = (acts.probs * (g_probs - inner)) / jnp.sqrt(
         jnp.asarray(cfg.head_dim, x_in.dtype))
-    g_q = jnp.einsum("hij,hjd->hid", g_raw, acts.k)
-    g_k = jnp.einsum("hij,hid->hjd", g_raw, acts.q)
+    g_q = jnp.einsum("hij,hjd->hid", g_raw, acts.k, precision=ap)
+    g_k = jnp.einsum("hij,hid->hjd", g_raw, acts.q, precision=ap)
     g_in = (g_sum1
             + _unheads(g_q) @ lp["q"]["kernel"].T
             + _unheads(g_k) @ lp["k"]["kernel"].T
@@ -491,6 +500,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     if use_kernel:
         assert need_grads and need_relprop and variant == "ours" \
             and alpha == 1.0, "kernel path: fused method, ours rules only"
+        assert cfg.hidden_act == "gelu", \
+            "the fused layer kernels hardcode exact GELU; use the XLA path"
         mxu = _mxu_name(None, matmul_precision)
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
@@ -520,9 +531,11 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     def step(carry, xs):
         g_out, Rc = carry
         x_in, att_ln, lp = xs
-        _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg)
+        _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg,
+                                 attn_precision=attn_precision)
         if need_grads:
-            g_in, g_tap = layer_backward(g_out, x_in, att_ln, acts, lp, cfg)
+            g_in, g_tap = layer_backward(g_out, x_in, att_ln, acts, lp, cfg,
+                                         attn_precision=attn_precision)
         else:
             g_in, g_tap = g_out, None
         if need_relprop:

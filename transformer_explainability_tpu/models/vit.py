@@ -308,7 +308,9 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
 
         if (matmul_precision in ("bfloat16", "tensorfloat32")
-                and not _NO_BLOCK_KERNEL):
+                and not _NO_BLOCK_KERNEL
+                and not pk.islands_exceed_base(matmul_precision,
+                                               mlp_precision)):
             # whole-block forward megakernel (one Pallas program per block).
             # Weights are pre-cast/pre-split ONCE outside the scan and fed
             # through the scan's xs — load-bearing for correctness on this
@@ -645,7 +647,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         # MLP; see PERF.md round 2d.
         kernel_modes = (("bfloat16",) if _NO_BLOCK_KERNEL
                         else ("bfloat16", "tensorfloat32"))
+        # rule/MLP islands ABOVE the base pass cannot be served by the
+        # pre-split kernel weights (pk.islands_exceed_base) — those combos
+        # take the XLA branches below, which use the raw f32 weights
         use_mlp_kernel = (matmul_precision in kernel_modes
+                          and not pk.islands_exceed_base(
+                              matmul_precision, relprop_precision,
+                              mlp_precision)
                           and variant == "ours" and alpha == 1.0)
         # whole-block megakernel: ONE Pallas program per (sample, block) for
         # the entire reverse step (per-program fixed cost dominates the

@@ -135,6 +135,25 @@ def rollout_from_grad_cam(cams: jax.Array, grads: Optional[jax.Array] = None,
 
 _EPS = 1e-9
 
+_MXU_LEVEL = {"bfloat16": 1, "tensorfloat32": 2, "float32": 3}
+
+
+def islands_exceed_base(base: str, *islands) -> bool:
+    """True if any weight-consuming precision island asks for MORE mantissa
+    than the ``base`` pass the kernels' weights are pre-split for.
+
+    Pre-split weights downgrade exactly (a (hi, mid, lo) triple's pair
+    prefix IS the tf32 split, its hi IS the bf16 cast) but cannot upgrade —
+    an f32 rule dot against (hi, lo) pair weights would either crash
+    (``_kdot``'s HIGHEST emulation takes triples) or silently cap the rule
+    at 16-bit weight mantissas. Callers gate the weight-consuming kernels
+    off for such combos and take the XLA path, which honors the requested
+    precision against the raw f32 weights. ``None`` islands (= follow base)
+    are ignored; the attention island never consumes weights, so it is NOT
+    passed here."""
+    b = _MXU_LEVEL.get(base, 3)
+    return any(_MXU_LEVEL.get(m, 3) > b for m in islands if m is not None)
+
 
 def _vmem_params(interpret: bool, mib: int = 96):
     # Raise the scoped-VMEM cap: the rev-core kernel's unrolled head loop

@@ -118,21 +118,38 @@ def make_sharded_explain_fn(cfg: ViTConfig, mesh: Mesh,
     The per-image program is identical to the single-chip one; the mesh is
     pure SPMD scale-out (batch must be divisible by the data-axis size).
     Precision knobs mirror :func:`explain.generator.make_explain_fn`.
+
+    Partitioning strategy: on a data-only mesh the batched program is wrapped
+    in ``shard_map`` (params replicated, batch split over ``data``) — each
+    device runs the full single-chip program LOCALLY, Pallas megakernels
+    included, with no reliance on GSPMD partitioning of custom calls. With a
+    ``model`` axis (Megatron-sharded kernels) the program stays under plain
+    ``jit`` + ``NamedSharding`` so XLA partitions the einsums — and the
+    Pallas kernels are disabled for that case (Mosaic custom calls have no
+    partitioning rule for sharded weight operands).
     """
+    n_model = mesh.shape.get("model", 1)
+
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):
             return gen.explain_single(params, img, index, cfg, method,
                                       start_layer, is_ablation, alpha, variant,
                                       relprop_precision, attn_precision,
                                       matmul_precision=matmul_precision,
-                                      mlp_precision=mlp_precision)
+                                      mlp_precision=mlp_precision,
+                                      use_attn_kernel=(None if n_model == 1
+                                                       else False))
 
     batched = jax.vmap(single, in_axes=(None, 0, 0))
+    if n_model == 1:
+        from transformer_explainability_tpu.parallel.sequence import shard_map
+        return jax.jit(shard_map(batched, mesh,
+                                 in_specs=(P(), P("data"), P("data")),
+                                 out_specs=P("data")))
     pspecs = vit_param_pspecs(cfg)
     param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                             is_leaf=lambda x: isinstance(x, P))
     data_sh = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
     out_sh = data_sh
     return jax.jit(batched,
                    in_shardings=(param_sh, data_sh, data_sh),

@@ -139,8 +139,8 @@ def _add_relprop_sp(a, b, R, variant, seq_axis, Z=None):
     tot = jnp.abs(a_sum) + jnp.abs(b_sum)
     a_fact = safe_divide(jnp.abs(a_sum), tot) * r_sum
     b_fact = safe_divide(jnp.abs(b_sum), tot) * r_sum
-    Ca = Ca * safe_divide(a_fact, jax.lax.psum(Ca.sum(), seq_axis))
-    Cb = Cb * safe_divide(b_fact, jax.lax.psum(Cb.sum(), seq_axis))
+    Ca = Ca * safe_divide(a_fact, a_sum)
+    Cb = Cb * safe_divide(b_fact, b_sum)
     return Ca, Cb
 
 
