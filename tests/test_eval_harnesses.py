@@ -146,6 +146,13 @@ def test_vis_class_modes(tiny_params, tmp_path):
         iter(it), tiny_params, out, TINY, method="transformer_attribution",
         vis_class="top", precision="production")
     assert n == 2
+    # a FIRST batch shorter than the declared batch_size is padded, not
+    # latched as the compiled shape (--limit < --batch-size)
+    out = str(tmp_path / "short.hdf5")
+    n = vis_mod.compute_saliency_and_save(
+        iter(it), tiny_params, out, TINY, method="rollout",
+        vis_class="top", batch_size=4)
+    assert n == 2
 
 
 @requires_reference
