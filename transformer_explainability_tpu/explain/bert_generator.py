@@ -86,7 +86,9 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                           matmul_precision, relprop_precision, mlp_precision)
                       and variant == "ours" and alpha == 1.0)
     use_kernel = (use_kernel and method == "transformer_attribution"
-                  and cfg.hidden_act == "gelu")
+                  and cfg.hidden_act == "gelu"
+                  and not pk.islands_exceed_base(
+                      matmul_precision, relprop_precision, mlp_precision))
 
     logits, res = bert_mod.forward_collect(
         params, input_ids, attention_mask, cfg, use_kernel=use_kernel,

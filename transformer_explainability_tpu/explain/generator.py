@@ -88,6 +88,14 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     if use_attn_kernel is None:
         use_attn_kernel = fuse_gc and jax.default_backend() == "tpu"
     use_attn_kernel = use_attn_kernel and fuse_gc
+    # a rule/MLP island ABOVE the base pass cannot be served by the kernels'
+    # pre-split weights; force the WHOLE kernel path off so the forward
+    # anchors and the XLA reverse recompute stay bitwise-consistent (a
+    # kernel forward against an XLA reverse amplifies ulp-level anchor
+    # deltas through the safe-divide chains — PERF.md round 2b)
+    if pk.islands_exceed_base(matmul_precision, relprop_precision,
+                              mlp_precision):
+        use_attn_kernel = False
     # full unroll by default: the block count is small and static (12/24);
     # unrolling removes the scan's per-step buffer rotations + parameter
     # dynamic-slices and lets XLA overlap across blocks (+7-18% measured,

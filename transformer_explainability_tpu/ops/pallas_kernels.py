@@ -175,10 +175,7 @@ def _split_hi_lo(x):
     ``convert(convert(x, bf16), f32) -> x`` — turning the residual into zero
     and silently degrading the 3-pass tf32 emulation to 1-pass bf16."""
     xf = x.astype(jnp.float32)
-    u = jax.lax.bitcast_convert_type(xf, jnp.uint32)
-    rne = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
-        & jnp.uint32(0xFFFF0000)
-    hi_f32 = jax.lax.bitcast_convert_type(rne, jnp.float32)
+    hi_f32 = _bf16_head_f32(xf)
     # both casts below are exact (8-bit mantissas already) except lo's, which
     # is a genuine rounding the compiler cannot fold away
     return hi_f32.astype(jnp.bfloat16), (xf - hi_f32).astype(jnp.bfloat16)
@@ -240,10 +237,18 @@ def _kdot(a, b, dims, mxu: str):
     if mxu == "bfloat16":
         return d(a.astype(jnp.bfloat16),
                  b[0] if paired else b.astype(jnp.bfloat16))
+    # multi-pass modes REQUIRE >=f32 mantissas on unsplit operands: splitting
+    # (or HIGHEST-dotting) an already-bf16 array silently degrades to 1-pass
+    # bf16 while paying the extra passes — enforce at trace time so a missed
+    # caller gate errors instead of quietly capping precision
+    _wide = (jnp.float32, jnp.float64)
+    assert a_dt in _wide, (mxu, a_dt)
     if mxu == "tensorfloat32":
         # XLA's tf32-on-TPU algorithm (bf16_3x): drop only the lo·lo term
         a_hi, a_lo = _split_hi_lo(a.astype(jnp.float32) if a_dt
                                   == jnp.float64 else a)
+        if not paired:
+            assert b.dtype in _wide, (mxu, b.dtype)
         b_hi, b_lo = b[:2] if paired else _split_hi_lo(
             b.astype(jnp.float32) if b.dtype == jnp.float64 else b)
         return (d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))).astype(acc)
@@ -261,6 +266,7 @@ def _kdot(a, b, dims, mxu: str):
         return (((d(a_hi, b_lo) + d(a_lo, b_hi) + d(a_mid, b_mid))
                  + (d(a_hi, b_mid) + d(a_mid, b_hi)))
                 + d(a_hi, b_hi)).astype(acc)
+    assert b.dtype in _wide, (mxu, b.dtype)
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=acc,
                                precision=jax.lax.Precision.HIGHEST)
@@ -743,7 +749,14 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
     if m_chunks is None:
         m_chunks = 0 if mxu in ("bfloat16", "tensorfloat32") else 4
     if m_chunks > 1 and M % m_chunks != 0:
-        m_chunks = 0                      # ragged M: one-shot form
+        # ragged M: pick a nearby divisor — the one-shot f32 form is exactly
+        # what chunking exists to avoid (scoped-VMEM overflow on hardware)
+        for k in (4, 5, 6, 8, 3, 2):
+            if M % k == 0:
+                m_chunks = k
+                break
+        else:
+            m_chunks = 0
     # the fc1 bias enters whole (one-shot) or pre-sliced per chunk — each
     # slice lands in VMEM at lane offset 0 (see _mlp_rev_math_chunked)
     b1 = bp["fc1"]["bias"][None].astype(dt)
