@@ -103,14 +103,20 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
             need_grads=needs_grads, need_relprop=needs_relprop,
             relprop_precision=relprop_precision, use_kernel=use_kernel,
             matmul_precision=matmul_precision, attn_precision=attn_precision,
-            mlp_precision=mlp_precision)
+            mlp_precision=mlp_precision,
+            # the headline method only ever consumes the (grad ⊙ cam)⁺
+            # head-mean: fold it into the scan on the XLA path too (the
+            # kernel path always does) — (L, S, S) scan output instead of
+            # two (L, h, S, S) tensors
+            fuse_grad_cam=(method == "transformer_attribution"
+                           and not use_kernel))
     else:
         R_tokens = attn_cams = attn_grads = None
 
     if method == "transformer_attribution":
-        # on the kernel path attn_cams is the pre-reduced (L, S, S)
-        # (grad ⊙ cam)⁺ head-mean and attn_grads is None — the rollout
-        # kernel accepts both layouts
+        # attn_cams is the pre-reduced (L, S, S) (grad ⊙ cam)⁺ head-mean on
+        # BOTH paths now (kernel and fused XLA scan); attn_grads is None —
+        # the rollout kernel accepts both layouts
         joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer,
                                          row_normalize=True)
         row = joint[0]

@@ -87,7 +87,12 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     # see ops.pallas_kernels.attn_rev_core)
     if use_attn_kernel is None:
         use_attn_kernel = fuse_gc and jax.default_backend() == "tpu"
-    use_attn_kernel = use_attn_kernel and fuse_gc
+    # the fused kernels implement the "ours" rules at alpha=1 only; other
+    # variants take the XLA path WHOLE (same gate as the reverse side — a
+    # kernel forward against an XLA reverse is the round-2b anchor-mismatch
+    # fidelity bug)
+    use_attn_kernel = (use_attn_kernel and fuse_gc
+                       and variant == "ours" and alpha == 1.0)
     # a rule/MLP island ABOVE the base pass cannot be served by the kernels'
     # pre-split weights; force the WHOLE kernel path off so the forward
     # anchors and the XLA reverse recompute stay bitwise-consistent (a

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 from transformer_explainability_tpu.ops import relprop as rp
 from transformer_explainability_tpu.ops import pallas_kernels as pk
-from transformer_explainability_tpu.models.vit import _mxu_name
+from transformer_explainability_tpu.models.vit import (_gelu_grad,
+                                                       _layernorm,
+                                                       _layernorm_bwd,
+                                                       _mxu_name)
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -107,12 +110,6 @@ def init_params(key: jax.Array, cfg: BertConfig, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
-
-def _layernorm(x, p, eps):
-    mu = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-
 
 def _heads(x: Array, cfg: BertConfig) -> Array:
     """(S, D) -> (h, S, hd) (transpose_for_scores, BERT.py:299-302)."""
@@ -292,7 +289,7 @@ def train_forward(params: Params, input_ids: Array, attention_mask: Array,
     x = embed(params, input_ids, jnp.zeros((S,), jnp.int32),
               jnp.arange(S, dtype=jnp.int32), cfg)
     ext_mask = (1.0 - attention_mask.astype(x.dtype)) * cfg.mask_value
-    rngs = jax.random.split(rng, 4 * cfg.num_layers + 2)
+    rngs = jax.random.split(rng, 3 * cfg.num_layers + 2)
     x = _dropout(x, hidden_dropout, rngs[0])
 
     def step(x, inp):
@@ -315,8 +312,10 @@ def train_forward(params: Params, input_ids: Array, attention_mask: Array,
         out = _layernorm(dense2 + att_ln, lp["out_ln"], cfg.layer_norm_eps)
         return out, None
 
-    layer_keys = rngs[1:1 + 4 * cfg.num_layers].reshape(
-        (cfg.num_layers, 4) + rngs.shape[1:])
+    # 3 dropout sites per layer (HF placement: attention probs, self-output
+    # dense, output dense)
+    layer_keys = rngs[1:1 + 3 * cfg.num_layers].reshape(
+        (cfg.num_layers, 3) + rngs.shape[1:])
     seq_out, _ = jax.lax.scan(step, x, (params["layers"], layer_keys))
     pooled = jnp.tanh(seq_out[0] @ params["pooler"]["kernel"]
                       + params["pooler"]["bias"])
@@ -338,12 +337,14 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
     Returns (R_in, attn_cam). ``relprop_precision`` optionally runs the
     rules at a different MXU precision than the ambient one (see
     vit.block_relprop)."""
+    # recompute OUTSIDE the rule-precision context: the z-rule linearization
+    # points must match the forward anchors (ambient precision)
+    if acts is None:
+        _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
     if relprop_precision is not None:
         with jax.default_matmul_precision(relprop_precision):
             return layer_relprop(R, x_in, att_ln, lp, ext_mask, cfg, alpha,
                                  variant, acts)
-    if acts is None:
-        _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
 
     # BertOutput: LN(id) -> add split -> dropout(id) -> dense
     R1, R2 = rp.add_relprop(acts.dense2, att_ln, R, variant)
@@ -401,22 +402,9 @@ def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
     return R_tokens, attn_cams
 
 
-def _layernorm_bwd(g_y: Array, x: Array, p, eps: float) -> Array:
-    mu = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xhat = (x - mu) * inv
-    gg = g_y * p["scale"]
-    return inv * (gg - gg.mean(axis=-1, keepdims=True)
-                  - xhat * (gg * xhat).mean(axis=-1, keepdims=True))
-
-
 def _act_grad(pre: Array, name: str) -> Array:
     if name == "gelu":
-        cdf = 0.5 * (1.0 + jax.lax.erf(pre / jnp.sqrt(2.0).astype(pre.dtype)))
-        pdf = jnp.exp(-0.5 * pre * pre) / jnp.sqrt(
-            2.0 * jnp.pi).astype(pre.dtype)
-        return cdf + pre * pdf
+        return _gelu_grad(pre)          # shared exact-erf form (vit.py)
     if name == "relu":
         return (pre > 0).astype(pre.dtype)
     if name == "tanh":
@@ -466,7 +454,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  use_kernel: bool = False,
                  matmul_precision: str = "float32",
                  attn_precision: Optional[str] = None,
-                 mlp_precision: Optional[str] = None
+                 mlp_precision: Optional[str] = None,
+                 fuse_grad_cam: bool = False
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """Fused reverse scan: class gradient w.r.t. every post-softmax attention
     map + LRP relevance, sharing one recompute per layer (see
@@ -477,8 +466,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     (pk.bert_out_rev_core + pk.bert_attn_rev_core) with the per-layer
     ``(grad ⊙ cam)⁺`` head-mean folded in; returns (R_tokens,
     gc_maps (L, S, S), None) — 12× less scan-output HBM than stacking
-    cams+grads. Requires both need flags, variant="ours", alpha=1."""
-    S = res.seq_out.shape[0]
+    cams+grads. Requires both need flags, variant="ours", alpha=1.
+
+    ``fuse_grad_cam``: fold the same head-mean into the XLA scan (the
+    transformer_attribution consumer needs ONLY that map): the scan emits
+    one (S, S) per layer instead of two (h, S, S) tensors — at S=512
+    that is 302 MB/example of avoidable scan-output HBM (the program is
+    bandwidth-bound). Same return contract as the kernel path."""
     g_final = None
     if need_grads:
         def tail(seq_out):
@@ -545,12 +539,19 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                            relprop_precision=relprop_precision)
         else:
             R_in, attn_cam = Rc, None
+        if fuse_grad_cam:
+            gc = jnp.clip(g_tap * attn_cam, min=0).mean(axis=0)
+            return (g_in, R_in), (gc, None)
         return (g_in, R_in), (attn_cam, g_tap)
 
+    if fuse_grad_cam:
+        assert need_grads and need_relprop, "fuse_grad_cam needs both passes"
     (_, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
         step, (g_final if need_grads else jnp.zeros(()),
                R if need_relprop else jnp.zeros(())),
         (res.x_ins, res.att_lns, params["layers"]), reverse=True)
+    if fuse_grad_cam:
+        return R_tokens, attn_cams, None
     return (R_tokens if need_relprop else None,
             attn_cams if need_relprop else None,
             attn_grads if need_grads else None)

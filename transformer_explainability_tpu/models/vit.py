@@ -305,6 +305,12 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
 
     if use_attn_kernel:
         assert taps is None, "taps are not supported on the kernel path"
+        if unroll == 1:
+            # a lax.scan/while body drops a pallas_call's vmem_limit_bytes
+            # (reverts to the 16 MiB scoped default — CLAUDE.md): the big
+            # kernels MUST be Python-unrolled; protect direct callers that
+            # did not pass unroll=cfg.depth like the generator does
+            unroll = cfg.depth
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
 
         if (matmul_precision in ("bfloat16", "tensorfloat32")
@@ -408,6 +414,11 @@ def block_relprop(R: Array, x_in: Array, x_mid: Array, bp: Params,
     (x_in, x_mid) anchors unless ``acts`` is supplied (the fused reverse pass
     shares one recompute between gradient and relevance).
     Returns (R_in, attn_cam, v_cam)."""
+    # recompute anchors OUTSIDE the rule-precision context: the z-rule
+    # linearization points must match the forward anchors (ambient
+    # precision), not the reduced rule precision
+    if acts is None:
+        acts = _block_acts_from_anchors(x_in, x_mid, bp, cfg)
     if relprop_precision is not None:
         with jax.default_matmul_precision(relprop_precision):
             return _block_relprop_impl(R, x_in, x_mid, bp, cfg, alpha,
@@ -636,6 +647,9 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         # in ONE Pallas kernel per block with everything VMEM-resident; XLA
         # keeps only the big Linear matmuls, LayerNorms and the rule tails.
         assert fuse_grad_cam, "the kernel path implements the fused method"
+        if unroll == 1:
+            # see forward_collect: big kernels must not sit in a scan body
+            unroll = cfg.depth
         attn_mxu = _mxu_name(attn_precision, matmul_precision)
         rule_mxu = _mxu_name(relprop_precision, matmul_precision)
         # the MLP kernel runs bf16 (1-pass) or emulated-tf32 (3-pass bf16×3
@@ -703,6 +717,12 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             proj_pre = out_merged @ bp["proj"]["kernel"]
             attn_out = proj_pre + bp["proj"]["bias"]
 
+            def with_rule_precision(f, *a):
+                if relprop_precision is not None:
+                    with jax.default_matmul_precision(relprop_precision):
+                        return f(*a)
+                return f(*a)
+
             if use_mlp_kernel:
                 # whole MLP half (LN fwd/bwd, fc1/gelu/fc2 recompute,
                 # backward, add2 + both α-β rules + clone) in ONE kernel
@@ -732,11 +752,7 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                              alpha, variant, y_pre=fc1_pre)
                     return rp.clone_relprop(x_mid, [R1, R2])
 
-                if relprop_precision is not None:
-                    with jax.default_matmul_precision(relprop_precision):
-                        Rm = mlp_rules(Rc)
-                else:
-                    Rm = mlp_rules(Rc)
+                Rm = with_rule_precision(mlp_rules, Rc)
 
             g_om = g_mid @ bp["proj"]["kernel"].T
 
@@ -754,11 +770,7 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                                          alpha, variant, y_pre=qkv_pre)
                 return rp.clone_relprop(x_in, [Ra1, R2])
 
-            if relprop_precision is not None:
-                with jax.default_matmul_precision(relprop_precision):
-                    Ra1, cam_o = rules_to_cam_o(Rm)
-            else:
-                Ra1, cam_o = rules_to_cam_o(Rm)
+            Ra1, cam_o = with_rule_precision(rules_to_cam_o, Rm)
 
             g_qkv, cam_qkv, gc = pk.attn_rev_core(
                 qkv, g_om, cam_o, cfg.num_heads, cfg.head_dim, scale,
@@ -767,11 +779,7 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             g_xn1 = g_qkv @ bp["qkv"]["kernel"].T
             g_in = g_mid + _layernorm_bwd(g_xn1, x_in, bp["norm1"],
                                           cfg.block_ln_eps)
-            if relprop_precision is not None:
-                with jax.default_matmul_precision(relprop_precision):
-                    R_in = rules_from_cam_qkv(cam_qkv, Ra1)
-            else:
-                R_in = rules_from_cam_qkv(cam_qkv, Ra1)
+            R_in = with_rule_precision(rules_from_cam_qkv, cam_qkv, Ra1)
             return (g_in, R_in), (gc,)
 
         assert res.outs is not None, \
