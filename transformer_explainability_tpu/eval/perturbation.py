@@ -106,14 +106,24 @@ def run_perturbation_eval(results_ds, params, cfg: ViTConfig = VIT_BASE_16_224,
         except ImportError:
             pass
     def dispatched():
-        # pipeline device dispatch against host accumulation
+        # pipeline device dispatch against host accumulation; ragged final
+        # batches are padded to batch_size so the 10-forward program compiles
+        # ONCE (a second compile costs minutes on the relay) — same
+        # discipline as seg.py/visualize.py
         pending = None
         n = 0
         for images, vis, targets in it:
             if limit is not None and n >= limit:
                 break
             B = images.shape[0]
-            v = vis.reshape(B, -1)
+            if B < batch_size:
+                pad = batch_size - B
+                images = np.concatenate(
+                    [images, np.repeat(images[-1:], pad, axis=0)])
+                vis = np.concatenate([vis, np.repeat(vis[-1:], pad, axis=0)])
+                targets = np.concatenate(
+                    [targets, np.repeat(targets[-1:], pad)])
+            v = vis.reshape(images.shape[0], -1)
             if neg:
                 v = -v
             out = fn(params, jnp.asarray(images), jnp.asarray(v),
@@ -126,7 +136,8 @@ def run_perturbation_eval(results_ds, params, cfg: ViTConfig = VIT_BASE_16_224,
             yield pending
 
     for out, B in dispatched():
-        out = {k: np.asarray(a) for k, a in out.items()}
+        # slice away batch-padding rows (last axis = examples)
+        out = {k: np.asarray(a)[..., :B] for k, a in out.items()}
         acc["model_hits"].append(out["base_correct"])
         acc["model_dissimilarities"].append(out["base_dissim"])
         acc["perturbations_hits"].append(out["pertub_correct"])

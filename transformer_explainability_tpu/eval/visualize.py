@@ -121,8 +121,13 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
                     jnp.asarray(heat.reshape(B, g, g)),
                     (B, cfg.img_size, cfg.img_size), method="bilinear")
                 )[:, None]
-            # global min-max over the batch, as in the reference (:100)
-            res = (res - res.min()) / (res.max() - res.min())
+            # per-image min-max: the reference's normalization line (:100)
+            # runs at its default batch_size=1, i.e. per image — a batch
+            # min-max would make each stored map depend on which images
+            # shared its batch (not reproducible across batch sizes)
+            mn = res.min(axis=(1, 2, 3), keepdims=True)
+            mx = res.max(axis=(1, 2, 3), keepdims=True)
+            res = (res - mn) / (mx - mn)
             w.append(np.asarray(images, np.float32), res,
                      np.asarray(targets, np.int32))
             n_written += B

@@ -17,7 +17,6 @@ from transformer_explainability_tpu.models import bert as bert_mod
 from transformer_explainability_tpu.models.bert import BertConfig
 from transformer_explainability_tpu.ops import pallas_kernels as pk
 from transformer_explainability_tpu.ops import relprop as rp
-from transformer_explainability_tpu.ops import pallas_kernels as pk
 
 # method -> (needs attention-grads, needs relprop)
 # Longest sequence the fused-kernel path auto-enables for (see
@@ -71,24 +70,26 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
     # S<=512 (BERT-base's position ceiling); bert_attn_rev_core switches
     # multi-pass modes to the chunked mid + per-head-chunk kernels above
     # S=384 (the single kernel's unrolled heads spill past chip VMEM).
+    # semantic eligibility (stated ONCE, applied to BOTH the auto-gate and
+    # explicit use_kernel=True requests): the fused cores implement exactly
+    # the ours-rules fused method with exact GELU, and their pre-split
+    # weights cannot serve a rule/MLP island above the base pass
+    eligible = (method == "transformer_attribution"
+                and cfg.hidden_act == "gelu"
+                and variant == "ours" and alpha == 1.0
+                and not pk.islands_exceed_base(
+                    matmul_precision, relprop_precision, mlp_precision))
     if use_kernel is None:
-        S_in = input_ids.shape[0]
-        use_kernel = (method == "transformer_attribution"
+        # resource gate (auto only): reduced-precision modes on the real
+        # chip at S<=512 (BERT-base's position ceiling); bert_attn_rev_core
+        # switches to the chunked kernels above S=384. An explicit
+        # use_kernel=True may override these (CPU interpret tests; callers
+        # owning the VMEM risk at longer S).
+        use_kernel = (eligible
                       and jax.default_backend() == "tpu"
-                      and S_in <= KERNEL_MAX_SEQ
-                      and matmul_precision in ("bfloat16", "tensorfloat32")
-                      # the fused cores hardcode exact GELU; any other
-                      # hidden_act must take the XLA path (same math, slower)
-                      and cfg.hidden_act == "gelu"
-                      # rule/MLP islands above the base pass can't be served
-                      # by the pre-split kernel weights — XLA path instead
-                      and not pk.islands_exceed_base(
-                          matmul_precision, relprop_precision, mlp_precision)
-                      and variant == "ours" and alpha == 1.0)
-    use_kernel = (use_kernel and method == "transformer_attribution"
-                  and cfg.hidden_act == "gelu"
-                  and not pk.islands_exceed_base(
-                      matmul_precision, relprop_precision, mlp_precision))
+                      and input_ids.shape[0] <= KERNEL_MAX_SEQ
+                      and matmul_precision in ("bfloat16", "tensorfloat32"))
+    use_kernel = use_kernel and eligible
 
     logits, res = bert_mod.forward_collect(
         params, input_ids, attention_mask, cfg, use_kernel=use_kernel,

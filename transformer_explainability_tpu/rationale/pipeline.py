@@ -45,16 +45,19 @@ from transformer_explainability_tpu.utils.checkpoint import (
 
 logger = logging.getLogger(__name__)
 
-# explanation method -> (explainer call name, rule variant)
+# explanation method -> (explainer call name, rule variant, start_layer)
 # (reference bert_pipeline.py:443-448: "ours" runs on the ours-rules model,
-#  every baseline on the orig-LRP model)
+#  every baseline on the orig-LRP model. start_layer: the reference's
+#  generate_LRP uses 11 for transformer_attribution (bert_pipeline.py:456)
+#  but generate_rollout defaults to 0 — ALL 12 layers roll out
+#  (ExplanationGenerator.py:115); None = the explainer's method default)
 METHOD_TABLE = {
-    "transformer_attribution": ("transformer_attribution", "ours"),
-    "partial_lrp": ("last_layer", "lrp"),
-    "last_attn": ("last_layer_attn", "lrp"),
-    "attn_gradcam": ("attn_gradcam", "lrp"),
-    "lrp": ("full", "lrp"),
-    "rollout": ("rollout", "lrp"),
+    "transformer_attribution": ("transformer_attribution", "ours", None),
+    "partial_lrp": ("last_layer", "lrp", None),
+    "last_attn": ("last_layer_attn", "lrp", None),
+    "attn_gradcam": ("attn_gradcam", "lrp", None),
+    "lrp": ("full", "lrp", None),
+    "rollout": ("rollout", "lrp", 0),
 }
 METHOD_FOLDER = {
     "transformer_attribution": "ours", "partial_lrp": "partial_lrp",
@@ -292,7 +295,7 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
     (zero beyond the truncated encoding) — the input the scorer's AUPRC/AP
     soft metrics need (the paper reports AUPRC; the reference pipeline only
     ever wrote hard top-k spans)."""
-    call_name, variant = METHOD_TABLE[method]
+    call_name, variant, m_start_layer = METHOD_TABLE[method]
     # tensorfloat32 routes transformer_attribution through the fused Pallas
     # layer kernels on TPU (explain_single's auto-gate) — ~10x the XLA f32
     # throughput at S=512 at heatmap corr ~0.999. The tf32 preset also pins
@@ -317,14 +320,19 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
             pids, pmask, tgt, _, nb = _padded_batch(anns, interned, classes)
             logits = np.asarray(eval_step(params, pids, pmask))[:nb]
             ids, mask, tgt = pids[:nb], pmask[:nb], tgt[:nb]
+            skw = {} if m_start_layer is None else {
+                "start_layer": m_start_layer}
             cam_t = np.asarray(explainer.explain(
-                ids, mask, indices=tgt, method=call_name))
+                ids, mask, indices=tgt, method=call_name, **skw))
             cam_t = np.clip(cam_t, 0, None)
-            if n_cls == 2 and method in ("transformer_attribution",
-                                         "partial_lrp", "attn_gradcam",
-                                         "lrp"):
+            # the counterfactual map is only consumed by the LaTeX heatmaps;
+            # it is a FULL second explain pass per batch — skip when latex
+            # output is off
+            if write_latex and n_cls == 2 and method in (
+                    "transformer_attribution", "partial_lrp",
+                    "attn_gradcam", "lrp"):
                 cam_cf = np.asarray(explainer.explain(
-                    ids, mask, indices=1 - tgt, method=call_name))
+                    ids, mask, indices=1 - tgt, method=call_name, **skw))
                 cam_cf = np.clip(cam_cf, 0, None)
             else:
                 cam_cf = None
