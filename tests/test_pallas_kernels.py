@@ -637,3 +637,144 @@ def test_block_rev_core_mlp_mxu_override():
                                   np.asarray(f_want[1]))
     np.testing.assert_array_equal(np.asarray(f_mix[2]),
                                   np.asarray(f_want[2]))
+
+
+def test_block_fwd_core_save_attn_anchors():
+    """save_attn=True returns the rich anchors (qkv_pre, proj_pre, dots,
+    probs) consistent with the block math, and leaves x_out/x_mid/out_m
+    identical to the plain call (f64 interpret)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import block_fwd_core
+    from transformer_explainability_tpu.models import vit as vit_mod
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                                depth=1, num_heads=4, num_classes=4)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            vit_mod.init_params(jax.random.PRNGKey(4), cfg))
+        bp = jax.tree.map(lambda a: a[0], params["blocks"])
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(cfg.num_tokens, cfg.embed_dim))
+        kw = dict(mxu="float32", attn_mxu="float32",
+                  use_pallas=True, interpret=True)
+        plain = block_fwd_core(x, bp, cfg.num_heads, cfg.head_dim,
+                               cfg.block_ln_eps, **kw)
+        rich = block_fwd_core(x, bp, cfg.num_heads, cfg.head_dim,
+                              cfg.block_ln_eps, save_attn=True, **kw)
+        assert len(rich) == 7
+        for a, b in zip(plain, rich[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=0)
+        _, _, _, qkv_pre, proj_pre, dots, probs = rich
+        _, _, acts = vit_mod._block_acts(x, bp, cfg)
+        want_qkv_pre = acts.qkv - bp["qkv"]["bias"]
+        np.testing.assert_allclose(np.asarray(qkv_pre),
+                                   np.asarray(want_qkv_pre),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(proj_pre),
+            np.asarray(acts.attn_out - bp["proj"]["bias"]),
+            rtol=1e-9, atol=1e-12)
+        n, h = cfg.num_tokens, cfg.num_heads
+        assert dots.shape == (h * n, n) and probs.shape == (h * n, n)
+        # probs rows are the post-softmax attention, head-stacked; compare
+        # against acts.attn (h, n, n) — note acts applies the scale before
+        # softmax, the kernel's saved dots are PRE-scale
+        scale = cfg.head_dim ** -0.5
+        for i in range(h):
+            np.testing.assert_allclose(
+                np.asarray(probs[i * n:(i + 1) * n]),
+                np.asarray(acts.attn[i]), rtol=1e-9, atol=1e-12)
+            got_sm = jax.nn.softmax(dots[i * n:(i + 1) * n] * scale, axis=-1)
+            np.testing.assert_allclose(np.asarray(got_sm),
+                                       np.asarray(acts.attn[i]),
+                                       rtol=1e-9, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_block_rev_core_saved_anchors_match_recompute():
+    """The rich-anchor reverse step == the recompute reverse step when the
+    anchors come from the forward kernel (f64 interpret: both paths see the
+    same linearization values, so the outputs agree to roundoff)."""
+    import jax
+    from transformer_explainability_tpu.ops import pallas_kernels as pk
+    from transformer_explainability_tpu.models import vit as vit_mod
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                                depth=1, num_heads=4, num_classes=4)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            vit_mod.init_params(jax.random.PRNGKey(3), cfg))
+        bp = jax.tree.map(lambda a: a[0], params["blocks"])
+        rng = np.random.RandomState(8)
+        n, D = cfg.num_tokens, cfg.embed_dim
+        x_in = jnp.asarray(rng.randn(n, D))
+        g_out = jnp.asarray(rng.randn(n, D))
+        R = jnp.asarray(rng.randn(n, D))
+        kw = dict(mxu="float32", attn_mxu="float32", rule_mxu="float32",
+                  use_pallas=True, interpret=True)
+        (x_out, x_mid, out_m, qkv_pre, proj_pre, dots, probs) = \
+            pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                              cfg.block_ln_eps, save_attn=True,
+                              mxu="float32", attn_mxu="float32",
+                              use_pallas=True, interpret=True)
+        want = pk.block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
+                                 cfg.num_heads, cfg.head_dim,
+                                 cfg.block_ln_eps, **kw)
+        got = pk.block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
+                                cfg.num_heads, cfg.head_dim,
+                                cfg.block_ln_eps,
+                                saved=(qkv_pre, proj_pre, dots, probs), **kw)
+        for g, w, name in zip(got, want, ("g_in", "R_in", "gc")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+        # and the jnp fallback (use_pallas=False) accepts saved too
+        got_f = pk.block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
+                                  cfg.num_heads, cfg.head_dim,
+                                  cfg.block_ln_eps,
+                                  saved=(qkv_pre, proj_pre, dots, probs),
+                                  mxu="float32", attn_mxu="float32",
+                                  rule_mxu="float32", use_pallas=False)
+        for g, w, name in zip(got_f, want, ("g_in", "R_in", "gc")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=1e-12, err_msg=name)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_explain_rich_anchor_path_matches_recompute_path():
+    """End-to-end: explain_single on the fused block path with rich anchors
+    == without (CPU math fallback; identical linearization points)."""
+    import os
+    import jax
+    from transformer_explainability_tpu.models.vit import ViTConfig, init_params
+    from transformer_explainability_tpu.explain.generator import explain_single
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=24, depth=3,
+                    num_heads=4, num_classes=10)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(3, 32, 32).astype(np.float32))
+
+    def run(rich):
+        env = os.environ
+        old = env.get("TE_TPU_RICH_ANCHORS")
+        env["TE_TPU_RICH_ANCHORS"] = "1" if rich else "0"
+        try:
+            with jax.default_matmul_precision("tensorfloat32"):
+                return np.asarray(jax.jit(
+                    lambda p, x, i: explain_single(
+                        p, x, i, cfg, use_attn_kernel=True,
+                        matmul_precision="tensorfloat32"))(
+                    params, img, jnp.int32(3)))
+        finally:
+            if old is None:
+                env.pop("TE_TPU_RICH_ANCHORS", None)
+            else:
+                env["TE_TPU_RICH_ANCHORS"] = old
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-8)

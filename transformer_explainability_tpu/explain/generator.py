@@ -21,6 +21,7 @@ need, since the method is a static argument.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -101,6 +102,15 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     if pk.islands_exceed_base(matmul_precision, relprop_precision,
                               mlp_precision):
         use_attn_kernel = False
+    # rich anchors (megakernel path only): the forward kernel additionally
+    # emits qkv_pre/proj_pre/dots/probs so the reverse kernel skips those
+    # recomputes — ~17% of its MXU passes for ~6 MB/block of HBM that the
+    # vmapped grid's DMA pipelining hides (PERF.md round 3). Escape hatch:
+    # TE_TPU_RICH_ANCHORS=0.
+    rich_anchors = (use_attn_kernel
+                    and matmul_precision in ("bfloat16", "tensorfloat32")
+                    and not vit_mod._NO_BLOCK_KERNEL
+                    and os.environ.get("TE_TPU_RICH_ANCHORS", "1") != "0")
     # full unroll by default: the block count is small and static (12/24);
     # unrolling removes the scan's per-step buffer rotations + parameter
     # dynamic-slices and lets XLA overlap across blocks (+7-18% measured,
@@ -112,7 +122,8 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                                           unroll=unroll,
                                           use_attn_kernel=use_attn_kernel,
                                           matmul_precision=matmul_precision,
-                                          mlp_precision=mlp_precision)
+                                          mlp_precision=mlp_precision,
+                                          rich_anchors=rich_anchors)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single

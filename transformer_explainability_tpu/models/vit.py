@@ -258,6 +258,15 @@ class Residuals(NamedTuple):
     # path (one extra anchor saves the reverse pass a full attention-forward
     # recompute per block); None otherwise
     outs: Optional[Array] = None
+    # rich anchors (megakernel path with save_attn): pre-bias qkv/proj
+    # matmul outputs and the per-head attention dots/probs row-stacked
+    # (L, h*n, n) — lets the reverse megakernel skip the qkv/proj/QK^T/
+    # softmax/AV recomputes (~17% of its MXU passes) at ~6 MB/block of
+    # HBM (PERF.md round 3)
+    qkv_pres: Optional[Array] = None   # (L, n, 3D)
+    proj_pres: Optional[Array] = None  # (L, n, D)
+    dots: Optional[Array] = None       # (L, h*n, n)
+    probs: Optional[Array] = None      # (L, h*n, n)
 
 
 def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
@@ -288,7 +297,8 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                     unroll: int = 1,
                     use_attn_kernel: bool = False,
                     matmul_precision: str = "float32",
-                    mlp_precision: Optional[str] = None
+                    mlp_precision: Optional[str] = None,
+                    rich_anchors: bool = False
                     ) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
@@ -303,6 +313,7 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
     """
     cat_x, x0 = embed(params, img, cfg)
 
+    rich = {}
     if use_attn_kernel:
         assert taps is None, "taps are not supported on the kernel path"
         if unroll == 1:
@@ -327,16 +338,34 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
             mlp_mxu = (_mxu_name(mlp_precision, matmul_precision)
                        if mlp_precision is not None else None)
 
-            def step_fused(x, xs):
-                bp, ws = xs
-                x_out, x_mid, out_merged = pk.block_fwd_core(
-                    x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
-                    mxu=matmul_precision, attn_mxu=fwd_mxu,
-                    mlp_mxu=mlp_mxu, ws=ws)
-                return x_out, (x, x_mid, out_merged)
+            if rich_anchors:
+                def step_fused_rich(x, xs):
+                    bp, ws = xs
+                    (x_out, x_mid, out_merged, qkv_pre, proj_pre, dots,
+                     probs) = pk.block_fwd_core(
+                        x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                        mxu=matmul_precision, attn_mxu=fwd_mxu,
+                        mlp_mxu=mlp_mxu, ws=ws, save_attn=True)
+                    return x_out, (x, x_mid, out_merged, qkv_pre, proj_pre,
+                                   dots, probs)
 
-            x_final, (x_ins, x_mids, outs) = jax.lax.scan(
-                step_fused, x0, (params["blocks"], w_prep), unroll=unroll)
+                x_final, (x_ins, x_mids, outs, qkv_pres, proj_pres, dots,
+                          probs) = jax.lax.scan(
+                    step_fused_rich, x0, (params["blocks"], w_prep),
+                    unroll=unroll)
+                rich = dict(qkv_pres=qkv_pres, proj_pres=proj_pres,
+                            dots=dots, probs=probs)
+            else:
+                def step_fused(x, xs):
+                    bp, ws = xs
+                    x_out, x_mid, out_merged = pk.block_fwd_core(
+                        x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
+                        mxu=matmul_precision, attn_mxu=fwd_mxu,
+                        mlp_mxu=mlp_mxu, ws=ws)
+                    return x_out, (x, x_mid, out_merged)
+
+                x_final, (x_ins, x_mids, outs) = jax.lax.scan(
+                    step_fused, x0, (params["blocks"], w_prep), unroll=unroll)
         else:
             def step_lite(x, bp):
                 xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
@@ -383,7 +412,7 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                        + params["head_dist"]["bias"])
         logits = (logits + logits_dist) / 2      # timm DeiT eval fusion
     res = Residuals(x0, cat_x, x_ins, x_mids, x_final, xn, cls, attns,
-                    outs if use_attn_kernel else None)
+                    outs if use_attn_kernel else None, **rich)
     return logits, res
 
 
@@ -685,22 +714,30 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             # pk.prepare_block_weights (correctness-critical on this
             # toolchain, not just faster)
             w_prep = pk.prepare_block_weights(params["blocks"], mlp_mxu)
+            rich = res.qkv_pres is not None
 
             def kstep_block(carry, xs):
                 g_out, Rc = carry
-                x_in, x_mid, out_m, bp, ws = xs
+                if rich:
+                    (x_in, x_mid, out_m, bp, ws, qkv_pre, proj_pre, dots,
+                     probs) = xs
+                    saved = (qkv_pre, proj_pre, dots, probs)
+                else:
+                    x_in, x_mid, out_m, bp, ws = xs
+                    saved = None
                 g_in, R_in, gc = pk.block_rev_core(
                     x_in, x_mid, out_m, g_out, Rc, bp,
                     cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
                     mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
-                    mlp_mxu=mlp_only_mxu, ws=ws)
+                    mlp_mxu=mlp_only_mxu, ws=ws, saved=saved)
                 return (g_in, R_in), (gc,)
 
             assert res.outs is not None
+            xs = (res.x_ins, res.x_mids, res.outs, params["blocks"], w_prep)
+            if rich:
+                xs = xs + (res.qkv_pres, res.proj_pres, res.dots, res.probs)
             (g0, R_tokens), (gc_maps,) = jax.lax.scan(
-                kstep_block, (g_final, R),
-                (res.x_ins, res.x_mids, res.outs, params["blocks"], w_prep),
-                reverse=True, unroll=unroll)
+                kstep_block, (g_final, R), xs, reverse=True, unroll=unroll)
             return R_tokens, gc_maps, None
 
         def kstep(carry, xs):

@@ -842,9 +842,17 @@ def _linear_rule_math(x, w, R, y_pre, rule_mxu):
 
 
 def _attn_rev_math(qkv, g_o, cam_o, num_heads, head_dim, scale,
-                   attn_mxu, rule_mxu):
+                   attn_mxu, rule_mxu, saved_attn=None, out_m=None):
     """Head-loop attention reverse (the _attn_rev_kernel body on arrays);
-    returns (g_qkv, cam_qkv, gc) in the raw (n, 3D) layout."""
+    returns (g_qkv, cam_qkv, gc) in the raw (n, 3D) layout.
+
+    ``saved_attn``: optional (dots, probs) forward anchors, each (h*n, n)
+    row-stacked per head — skips the QK^T recompute and the softmax; with
+    ``out_m`` (the merged AV anchor, (n, D)) the AV recompute is skipped
+    too. The saved family is internally consistent (forward computed probs
+    from dots and out_m from probs⊙v), so every rule divides by the exact
+    value its numerator was linearized at — the round-2b anchor-consistency
+    requirement."""
     n = qkv.shape[0]
     D = num_heads * head_dim
     dt = qkv.dtype
@@ -857,9 +865,17 @@ def _attn_rev_math(qkv, g_o, cam_o, num_heads, head_dim, scale,
         v = qkv[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
         go = g_o[:, h * head_dim:(h + 1) * head_dim]
         co = cam_o[:, h * head_dim:(h + 1) * head_dim]
-        dots = _kdot(q, k, ((1,), (1,)), attn_mxu)
-        attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
-        out = _kdot(attn, v, ((1,), (0,)), attn_mxu)
+        if saved_attn is not None:
+            sdots, sprobs = saved_attn
+            dots = sdots[h * n:(h + 1) * n, :]
+            attn = sprobs[h * n:(h + 1) * n, :]
+        else:
+            dots = _kdot(q, k, ((1,), (1,)), attn_mxu)
+            attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
+        if out_m is not None:
+            out = out_m[:, h * head_dim:(h + 1) * head_dim]
+        else:
+            out = _kdot(attn, v, ((1,), (0,)), attn_mxu)
         g_attn = _kdot(go, v, ((1,), (1,)), attn_mxu)
         gv.append(_kdot(attn, go, ((0,), (0,)), attn_mxu))
         inner = (g_attn * attn).sum(axis=-1, keepdims=True)
@@ -882,14 +898,33 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
                     ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
                     wqkv, wproj, w1, w2, *,
                     num_heads, head_dim, scale, eps, mxu, attn_mxu, rule_mxu,
-                    mlp_mxu=None):
-    """The whole fused reverse step of one block (vit.reverse_pass kstep)."""
+                    mlp_mxu=None, saved=None):
+    """The whole fused reverse step of one block (vit.reverse_pass kstep).
+
+    ``saved``: optional (qkv_pre, proj_pre, dots, probs) rich forward
+    anchors (dots/probs row-stacked (h*n, n); qkv_pre/proj_pre are the
+    pre-bias matmul outputs). When given, the qkv/proj/QK^T/softmax/AV
+    recomputes are all skipped — ~17% of the kernel's MXU passes in the
+    production mode — and every linearization point comes from ONE
+    internally-consistent family (the forward kernel's own values), which
+    is strictly safer than recompute w.r.t. the round-2b anchor-mismatch
+    failure mode."""
     dt = x_in.dtype
-    # recompute LN1 + qkv (out_m is the saved forward anchor)
     xn1, mu1, inv1 = _ln_fwd(x_in, ln1s, ln1b, eps)
-    qkv_pre = _kdot(xn1, wqkv, ((1,), (0,)), mxu)
-    qkv = qkv_pre + bqkv
-    proj_pre = _kdot(out_m, wproj, ((1,), (0,)), mxu)
+    if saved is not None:
+        s_qkv_pre, s_proj_pre, s_dots, s_probs = saved
+        qkv_pre = s_qkv_pre
+        qkv = qkv_pre + bqkv          # same add on the same values as the
+        proj_pre = s_proj_pre         # forward kernel -> bitwise equal
+        saved_attn = (s_dots, s_probs)
+        out_anchor = out_m
+    else:
+        # recompute LN1 + qkv (out_m is the saved forward anchor)
+        qkv_pre = _kdot(xn1, wqkv, ((1,), (0,)), mxu)
+        qkv = qkv_pre + bqkv
+        proj_pre = _kdot(out_m, wproj, ((1,), (0,)), mxu)
+        saved_attn = None
+        out_anchor = None
     attn_out = proj_pre + bproj
 
     # MLP half
@@ -905,13 +940,18 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
     # recompute differs from the forward kernel's by an ulp-level δ, and
     # S amplifies δ unboundedly wherever x_mid ≈ 0 elementwise (measured:
     # a ≤1.2e-4 anchor-vs-recompute mismatch flipped whole catdog heatmaps
-    # while the bitwise-consistent XLA path was stable — PERF.md round 2b)
+    # while the bitwise-consistent XLA path was stable — PERF.md round 2b).
+    # (On the rich-anchor path attn_out derives from the SAVED proj_pre, so
+    # the same consistency holds with x_mid itself — but recomputing the add
+    # costs nothing and keeps one code shape.)
     Ra1, Ra2 = _add_rule_math(x_in, attn_out, Rm)
     cam_o = _linear_rule_math(out_m, wproj, Ra2, proj_pre, rule_mxu)
 
     # attention core
     g_qkv, cam_qkv, gc = _attn_rev_math(qkv, g_om, cam_o, num_heads,
-                                        head_dim, scale, attn_mxu, rule_mxu)
+                                        head_dim, scale, attn_mxu, rule_mxu,
+                                        saved_attn=saved_attn,
+                                        out_m=out_anchor)
 
     # qkv-side tails
     g_xn1 = _kdot(g_qkv, wqkv, ((1,), (1,)), mxu)
@@ -972,19 +1012,25 @@ def prepare_block_weights(blocks: dict, mxu: str):
 
 
 def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      rule_mxu, mlp_mxu, paired):
+                      rule_mxu, mlp_mxu, paired, with_saved=False):
     (x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
      ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:13]
     g_in_ref, R_in_ref, gc_ref = refs[-3:]
-    wqkv, wproj, w1, w2 = _read_weight_refs(refs[13:-3], paired)
+    w_refs = refs[13:-3]
+    saved = None
+    if with_saved:
+        saved = tuple(r[:] for r in w_refs[-4:])
+        w_refs = w_refs[:-4]
+    wqkv, wproj, w1, w2 = _read_weight_refs(w_refs, paired)
     g_in, R_in, gc = _block_rev_math(
         x_in_ref[:], x_mid_ref[:], out_ref[:], g_out_ref[:], R_ref[:],
         ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
         wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
+        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu,
+        saved=saved)
     g_in_ref[:] = g_in
     R_in_ref[:] = R_in
     gc_ref[:] = gc
@@ -997,7 +1043,8 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
                    mlp_mxu: Optional[str] = None,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False,
-                   ws: Optional[tuple] = None):
+                   ws: Optional[tuple] = None,
+                   saved: Optional[tuple] = None):
     """ONE kernel for the entire fused reverse step of a ViT block
     (variant="ours", α=1): returns (g_in, R_in, gc (n, n)).
 
@@ -1013,6 +1060,10 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
     ``ws``: this block's slice of :func:`prepare_block_weights` — prepared
     OUTSIDE the scan. Callers scanning over blocks should always use it
     (see the prepare_block_weights docstring for why).
+
+    ``saved``: optional rich anchors (qkv_pre, proj_pre, dots, probs) from
+    ``block_fwd_core(save_attn=True)`` — skips those recomputes in-kernel
+    (see :func:`_block_rev_math`).
     """
     scale = head_dim ** -0.5
     if use_pallas is None:
@@ -1036,6 +1087,8 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         w_flat, paired = _flatten_weights(
             [bp["qkv"]["kernel"], bp["proj"]["kernel"],
              bp["fc1"]["kernel"], bp["fc2"]["kernel"]], mxu)
+    if saved is not None:
+        saved = tuple(s.astype(dt) for s in saved)
     if not use_pallas and not interpret:
         wqkv, wproj, w1, w2 = _pair_weights(w_flat, paired)
         return _block_rev_math(
@@ -1043,15 +1096,19 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
             g_out.astype(dt), R.astype(dt), **args,
             wqkv=wqkv, wproj=wproj, w1=w1, w2=w2,
             num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
+            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu,
+            saved=saved)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    extra = list(saved) if saved is not None else []
     return pl.pallas_call(
         functools.partial(_block_rev_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
                           attn_mxu=attn_mxu, rule_mxu=rule_mxu,
-                          mlp_mxu=mlp_mxu, paired=paired),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (13 + len(w_flat)),
+                          mlp_mxu=mlp_mxu, paired=paired,
+                          with_saved=saved is not None),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            13 + len(w_flat) + len(extra)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, D), dt),
                    jax.ShapeDtypeStruct((n, D), dt),
@@ -1062,7 +1119,7 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
         interpret=interpret,
     )(x_in.astype(dt), x_mid.astype(dt), out_m.astype(dt), g_out.astype(dt),
       R.astype(dt), args["ln1s"], args["ln1b"], args["ln2s"], args["ln2b"],
-      args["bqkv"], args["bproj"], args["b1"], args["b2"], *w_flat)
+      args["bqkv"], args["bproj"], args["b1"], args["b2"], *w_flat, *extra)
 
 
 # ---------------------------------------------------------------------------
@@ -1073,13 +1130,17 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
 def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
                     wqkv, wproj, w1, w2, *,
                     num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                    mlp_mxu=None):
+                    mlp_mxu=None, save_attn=False):
+    """``save_attn``: additionally return the rich anchors
+    (qkv_pre (n, 3D), proj_pre (n, D), dots (h*n, n), probs (h*n, n)) the
+    rich-anchor reverse step consumes (see :func:`_block_rev_math`)."""
     mmx = mlp_mxu or mxu
     dt = x.dtype
     D = num_heads * head_dim
     xn1, _, _ = _ln_fwd(x, ln1s, ln1b, eps)
-    qkv = _kdot(xn1, wqkv, ((1,), (0,)), mxu) + bqkv
-    outs = []
+    qkv_pre = _kdot(xn1, wqkv, ((1,), (0,)), mxu)
+    qkv = qkv_pre + bqkv
+    outs, dots_l, probs_l = [], [], []
     for h in range(num_heads):
         q = qkv[:, h * head_dim:(h + 1) * head_dim]
         k = qkv[:, D + h * head_dim: D + (h + 1) * head_dim]
@@ -1087,31 +1148,40 @@ def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
         dots = _kdot(q, k, ((1,), (1,)), attn_mxu)
         attn = jax.nn.softmax(dots * jnp.asarray(scale, dt), axis=-1)
         outs.append(_kdot(attn, v, ((1,), (0,)), attn_mxu))
+        if save_attn:
+            dots_l.append(dots)
+            probs_l.append(attn)
     out_m = jnp.concatenate(outs, axis=1)
-    attn_out = _kdot(out_m, wproj, ((1,), (0,)), mxu) + bproj
+    proj_pre = _kdot(out_m, wproj, ((1,), (0,)), mxu)
+    attn_out = proj_pre + bproj
     x_mid = x + attn_out
     xn2, _, _ = _ln_fwd(x_mid, ln2s, ln2b, eps)
     h1 = _kdot(xn2, w1, ((1,), (0,)), mmx) + b1
     hg = _gelu_exact(h1)
     mlp_out = _kdot(hg, w2, ((1,), (0,)), mmx) + b2
-    return x_mid + mlp_out, x_mid, out_m
+    x_out = x_mid + mlp_out
+    if save_attn:
+        return (x_out, x_mid, out_m, qkv_pre, proj_pre,
+                jnp.concatenate(dots_l, axis=0),
+                jnp.concatenate(probs_l, axis=0))
+    return x_out, x_mid, out_m
 
 
 def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      mlp_mxu, paired):
+                      mlp_mxu, paired, save_attn=False):
     (x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:9]
-    x_out_ref, x_mid_ref, out_ref = refs[-3:]
-    wqkv, wproj, w1, w2 = _read_weight_refs(refs[9:-3], paired)
-    x_out, x_mid, out_m = _block_fwd_math(
+    n_out = 7 if save_attn else 3
+    out_refs = refs[-n_out:]
+    wqkv, wproj, w1, w2 = _read_weight_refs(refs[9:-n_out], paired)
+    outs = _block_fwd_math(
         x_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:], ln2b_ref[:],
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
         wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
-    x_out_ref[:] = x_out
-    x_mid_ref[:] = x_mid
-    out_ref[:] = out_m
+        mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, save_attn=save_attn)
+    for r, o in zip(out_refs, outs):
+        r[:] = o
 
 
 def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
@@ -1119,11 +1189,17 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                    mlp_mxu: Optional[str] = None,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False,
-                   ws: Optional[tuple] = None):
+                   ws: Optional[tuple] = None,
+                   save_attn: bool = False):
     """ONE kernel for a full ViT block forward; returns
     (x_out, x_mid, out_merged) — the fused reverse pass's three anchors.
     ``ws``: this block's slice of :func:`prepare_block_weights` (callers
-    scanning over blocks should always pass it — see its docstring)."""
+    scanning over blocks should always pass it — see its docstring).
+
+    ``save_attn=True`` additionally returns the rich anchors
+    (qkv_pre, proj_pre, dots, probs) for :func:`block_rev_core`'s
+    ``saved`` argument — trading ~6 MB/block HBM for ~17% of the reverse
+    kernel's MXU passes (the qkv/proj/QK^T/softmax/AV recomputes)."""
     scale = head_dim ** -0.5
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -1151,18 +1227,24 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
         return _block_fwd_math(*flat, wqkv, wproj, w1, w2,
                                num_heads=num_heads, head_dim=head_dim,
                                scale=scale, eps=eps, mxu=mxu,
-                               attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
+                               attn_mxu=attn_mxu, mlp_mxu=mlp_mxu,
+                               save_attn=save_attn)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    out_shape = [jax.ShapeDtypeStruct((n, D), dt)] * 3
+    if save_attn:
+        out_shape += [jax.ShapeDtypeStruct((n, 3 * D), dt),
+                      jax.ShapeDtypeStruct((n, D), dt),
+                      jax.ShapeDtypeStruct((num_heads * n, n), dt),
+                      jax.ShapeDtypeStruct((num_heads * n, n), dt)]
     return pl.pallas_call(
         functools.partial(_block_fwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
-                          attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, paired=paired),
+                          attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, paired=paired,
+                          save_attn=save_attn),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(w_flat)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n, D), dt),
-                   jax.ShapeDtypeStruct((n, D), dt),
-                   jax.ShapeDtypeStruct((n, D), dt)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        out_shape=out_shape,
         compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(*flat, *w_flat)
