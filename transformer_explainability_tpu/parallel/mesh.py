@@ -123,12 +123,26 @@ def make_sharded_explain_fn(cfg: ViTConfig, mesh: Mesh,
     in ``shard_map`` (params replicated, batch split over ``data``) — each
     device runs the full single-chip program LOCALLY, Pallas megakernels
     included, with no reliance on GSPMD partitioning of custom calls. With a
-    ``model`` axis (Megatron-sharded kernels) the program stays under plain
-    ``jit`` + ``NamedSharding`` so XLA partitions the einsums — and the
-    Pallas kernels are disabled for that case (Mosaic custom calls have no
-    partitioning rule for sharded weight operands).
+    ``model`` axis, the headline method (transformer_attribution, ours, α=1)
+    routes through :mod:`...parallel.tensor` — a shard_map program with
+    explicit collectives where each device runs the Pallas ATTENTION cores
+    on its head slice (heads divide the model axis) and the Megatron-sharded
+    Linears psum at the merges. Other method/variant combos keep the
+    round-2 plain ``jit`` + ``NamedSharding`` fallback, where the Pallas
+    kernels are disabled (Mosaic custom calls have no GSPMD partitioning
+    rule for sharded weight operands).
     """
     n_model = mesh.shape.get("model", 1)
+    if (n_model > 1 and method in ("transformer_attribution", "grad")
+            and variant == "ours" and alpha == 1.0 and not is_ablation
+            and cfg.num_heads % n_model == 0
+            and cfg.mlp_dim % n_model == 0):
+        from transformer_explainability_tpu.parallel.tensor import (
+            make_tp_explain_fn)
+        return make_tp_explain_fn(
+            cfg, mesh, method=method, start_layer=start_layer, alpha=alpha,
+            variant=variant, matmul_precision=matmul_precision,
+            attn_precision=attn_precision)
 
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):
