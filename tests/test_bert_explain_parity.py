@@ -210,3 +210,58 @@ def test_argmax_sentinel(pair):
     b = np.asarray(fn(params, jnp.asarray(ids, jnp.int32),
                       jnp.asarray(mask_full), jnp.array([top], jnp.int32)))
     np.testing.assert_array_equal(a, b)
+
+
+@requires_reference
+def test_head_mask_parity(pair):
+    """The dormant reference capability (BERT.py:355-356, :375-377): per-head
+    multipliers on the post-softmax probabilities, z-rule Mul relprop.
+
+    The reference's own relprop path is broken upstream — its forward uses a
+    plain ``*`` and never calls ``self.mul``, so ``Mul.X`` is unset and
+    relprop raises AttributeError. The test repairs the hooks after the
+    forward (calling ``self.mul`` on the saved probs + mask, exactly what
+    the forward was intended to do) and then asserts full parity: logits,
+    per-layer attention cams + hook gradients, and token relevance."""
+    import torch
+    ref, cfg, params, ids, mask_full, _ = pair
+    rng = np.random.RandomState(3)
+    L, h = NUM_LAYERS, 4
+    hm = rng.uniform(0.2, 1.0, (L, h)).astype(np.float32)
+    hm[0, 1] = 0.0                      # one fully-masked head
+    ids_t = torch.tensor(ids)
+    mask_t = torch.tensor(mask_full)
+    hm_t = torch.tensor(hm)
+
+    out = ref(input_ids=ids_t, attention_mask=mask_t, head_mask=hm_t,
+              return_dict=False)[0]
+    logits, res = bert_mod.forward_collect(
+        params, jnp.asarray(ids[0]), jnp.asarray(mask_full[0]), cfg,
+        head_mask=jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(logits), out.detach().numpy()[0],
+                               rtol=1e-4, atol=1e-5)
+
+    onehot = np.zeros((1, 2), np.float32)
+    onehot[0, 1] = 1
+    ref.zero_grad()
+    torch.sum(torch.from_numpy(onehot) * out).backward(retain_graph=True)
+    # repair the dormant Mul hooks with the values the forward consumed
+    for l, blk in enumerate(ref.bert.encoder.layer):
+        sa = blk.attention.self
+        sa.mul([sa.get_attn(), hm_t[l].view(1, -1, 1, 1)])
+    want_R = ref.relprop(torch.tensor(onehot), alpha=1).detach().numpy()[0]
+
+    R_tokens, attn_cams, attn_grads = bert_mod.reverse_pass(
+        params, res, jnp.asarray(onehot[0]), cfg, head_mask=jnp.asarray(hm))
+    np.testing.assert_allclose(np.asarray(R_tokens), want_R,
+                               rtol=1e-3, atol=1e-6)
+    for l, blk in enumerate(ref.bert.encoder.layer):
+        sa = blk.attention.self
+        np.testing.assert_allclose(
+            np.asarray(attn_cams[l]),
+            sa.get_attn_cam().detach().numpy()[0], rtol=1e-3, atol=1e-6,
+            err_msg=f"attn_cam layer {l}")
+        np.testing.assert_allclose(
+            np.asarray(attn_grads[l]),
+            sa.get_attn_gradients().detach().numpy()[0],
+            rtol=1e-3, atol=1e-6, err_msg=f"attn_grad layer {l}")

@@ -135,17 +135,23 @@ class LayerActs(NamedTuple):
     inter_pre: Array    # intermediate dense output (S, I) — pre-activation
     inter_g: Array      # activation output (S, I) — out dense input
     dense2: Array       # out dense output (S, D)
+    # post-head-mask probabilities — what the AV matmul actually consumed
+    # (None when no head_mask: == probs). Reference BERT.py:356.
+    probs_m: Optional[Array] = None
 
 
 def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
                 ext_mask: Array, cfg: BertConfig,
                 tap: Optional[Array] = None,
-                attn_precision: Optional[str] = None
+                attn_precision: Optional[str] = None,
+                head_mask: Optional[Array] = None
                 ) -> Tuple[Array, Array, LayerActs]:
     """One encoder layer from its input. ``att_ln`` may be passed (relprop
     recompute path, bitwise equal to forward) or None to compute it.
     ``attn_precision`` pins the QK^T/AV einsums (the precision-sensitive
-    island — same contract as vit._block_acts). Returns
+    island — same contract as vit._block_acts). ``head_mask``: optional
+    per-head multiplier (h,), applied to the post-softmax (post-save,
+    post-tap) probabilities — reference ``BERT.py:355-356``. Returns
     (att_ln, layer_out, acts)."""
     ap = attn_precision
     q = _heads(x_in @ lp["q"]["kernel"] + lp["q"]["bias"], cfg)
@@ -156,7 +162,12 @@ def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
     probs = jax.nn.softmax(scaled + ext_mask, axis=-1)
     if tap is not None:
         probs = probs + tap
-    ctx = _unheads(jnp.einsum("hij,hjd->hid", probs, v, precision=ap))
+    probs_m = None
+    if head_mask is not None:
+        probs_m = probs * head_mask[:, None, None]
+    ctx = _unheads(jnp.einsum("hij,hjd->hid",
+                              probs if probs_m is None else probs_m, v,
+                              precision=ap))
     dense_out = ctx @ lp["attn_out"]["kernel"] + lp["attn_out"]["bias"]
     att_mid = dense_out + x_in
     if att_ln is None:
@@ -167,7 +178,8 @@ def _layer_acts(x_in: Array, att_ln: Optional[Array], lp: Params,
     dense2 = inter_g @ lp["out"]["kernel"] + lp["out"]["bias"]
     out = _layernorm(dense2 + att_ln, lp["out_ln"], cfg.layer_norm_eps)
     return att_ln, out, LayerActs(q, k, v, scaled, probs, ctx, dense_out,
-                                  att_mid, inter_pre, inter_g, dense2)
+                                  att_mid, inter_pre, inter_g, dense2,
+                                  probs_m)
 
 
 class Residuals(NamedTuple):
@@ -196,7 +208,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
                     use_kernel: bool = False,
                     matmul_precision: str = "float32",
                     attn_precision: Optional[str] = None,
-                    mlp_precision: Optional[str] = None
+                    mlp_precision: Optional[str] = None,
+                    head_mask: Optional[Array] = None
                     ) -> Tuple[Array, Residuals]:
     """Per-example forward; input_ids (S,) int32, attention_mask (S,) {0,1}.
     Returns (logits, residuals).
@@ -217,6 +230,8 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
 
     if use_kernel:
         assert taps is None, "taps are not supported on the kernel path"
+        assert head_mask is None, \
+            "head_mask is an XLA-path feature (dormant in the reference)"
         assert cfg.hidden_act == "gelu", \
             "the fused layer kernels hardcode exact GELU; use the XLA path"
         fwd_mxu = _mxu_name(attn_precision, matmul_precision)
@@ -247,15 +262,16 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
         def step(x, inp):
             # remat: see vit.forward_collect — backward recomputes layer
             # internals from the carried anchors.
-            lp, tap = inp
+            lp, tap, hm = inp
             att_ln, out, acts = _layer_acts(x, None, lp, ext_mask, cfg, tap,
-                                            attn_precision=attn_precision)
+                                            attn_precision=attn_precision,
+                                            head_mask=hm)
             return out, (x, att_ln, acts.probs)
 
         tap_seq = taps if taps is not None else jnp.zeros(
             (cfg.num_layers, cfg.num_heads, S, S), x0.dtype)
         seq_out, (x_ins, att_lns, probs) = jax.lax.scan(
-            step, x0, (params["layers"], tap_seq))
+            step, x0, (params["layers"], tap_seq, head_mask))
 
     first_tok = seq_out[0]
     pooled = jnp.tanh(first_tok @ params["pooler"]["kernel"]
@@ -330,21 +346,27 @@ def train_forward(params: Params, input_ids: Array, attention_mask: Array,
 def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
                   ext_mask: Array, cfg: BertConfig, alpha: float,
                   variant: str, acts: Optional[LayerActs] = None,
-                  relprop_precision: Optional[str] = None
+                  relprop_precision: Optional[str] = None,
+                  head_mask: Optional[Array] = None
                   ) -> Tuple[Array, Array]:
     """LRP through one encoder layer (reference BertLayer.relprop
     ``BERT.py:521-530`` + BertSelfAttention.relprop ``:367-409``).
     Returns (R_in, attn_cam). ``relprop_precision`` optionally runs the
     rules at a different MXU precision than the ambient one (see
-    vit.block_relprop)."""
+    vit.block_relprop). ``head_mask``: per-head multiplier (h,) — adds the
+    z-rule Mul split after the AV split, keeping the probs branch
+    (reference ``BERT.py:375-377``; the reference's own path is broken
+    upstream — its forward never calls ``self.mul`` — so this implements
+    the intended semantics, tested against the hook-repaired reference)."""
     # recompute OUTSIDE the rule-precision context: the z-rule linearization
     # points must match the forward anchors (ambient precision)
     if acts is None:
-        _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg)
+        _, _, acts = _layer_acts(x_in, att_ln, lp, ext_mask, cfg,
+                                 head_mask=head_mask)
     if relprop_precision is not None:
         with jax.default_matmul_precision(relprop_precision):
             return layer_relprop(R, x_in, att_ln, lp, ext_mask, cfg, alpha,
-                                 variant, acts)
+                                 variant, acts, head_mask=head_mask)
 
     # BertOutput: LN(id) -> add split -> dropout(id) -> dense
     R1, R2 = rp.add_relprop(acts.dense2, att_ln, R, variant)
@@ -365,9 +387,15 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
 
     # BertSelfAttention
     cam = _heads(R1, cfg)                                   # (h, S, hd)
-    cam1, cam_v = rp.einsum_av_relprop(acts.probs, acts.v, cam)
+    cam1, cam_v = rp.einsum_av_relprop(
+        acts.probs if acts.probs_m is None else acts.probs_m, acts.v, cam)
     cam1 = cam1 / 2
     cam_v = cam_v / 2
+    if acts.probs_m is not None:
+        # head-mask Mul split, probs branch kept (BERT.py:375-377)
+        cam1, _ = rp.mul_relprop(
+            acts.probs, jnp.broadcast_to(head_mask[:, None, None],
+                                         acts.probs.shape), cam1)
     attn_cam = cam1                                         # save_attn_cam
     # dropout, softmax: identity
     # attention-mask Add (masked scores = scaled + ext_mask, BERT.py:342)
@@ -391,14 +419,15 @@ def layer_relprop(R: Array, x_in: Array, att_ln: Array, lp: Params,
 
 
 def relprop(params: Params, res: Residuals, R_logits: Array, cfg: BertConfig,
-            alpha: float = 1.0, variant: str = "ours"
-            ) -> Tuple[Array, Array]:
+            alpha: float = 1.0, variant: str = "ours",
+            head_mask: Optional[Array] = None) -> Tuple[Array, Array]:
     """classifier -> pooler -> encoder reversed (reference
     BertForSequenceClassification.relprop + BertModel.relprop). Thin wrapper
-    over the fused :func:`reverse_pass` with gradients disabled."""
+    over the fused :func:`reverse_pass` with gradients disabled.
+    ``head_mask``: the (L, h) multiplier the forward was run with."""
     R_tokens, attn_cams, _ = reverse_pass(
         params, res, R_logits, cfg, alpha=alpha, variant=variant,
-        need_grads=False, need_relprop=True)
+        need_grads=False, need_relprop=True, head_mask=head_mask)
     return R_tokens, attn_cams
 
 
@@ -415,11 +444,14 @@ def _act_grad(pre: Array, name: str) -> Array:
 
 def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
                    acts: LayerActs, lp: Params, cfg: BertConfig,
-                   attn_precision: Optional[str] = None
+                   attn_precision: Optional[str] = None,
+                   head_mask: Optional[Array] = None
                    ) -> Tuple[Array, Array]:
     """Hand-written VJP of one encoder layer from saved activations: returns
     (g_in, g_probs) with g_probs the cotangent of the post-softmax attention
-    (the reference's hook gradient, BERT.py:347-348). No forward recompute."""
+    (the reference's hook gradient, BERT.py:347-348 — registered BEFORE the
+    optional head-mask Mul, so with a mask the hook gradient carries the
+    mask factor). No forward recompute."""
     # output sub-block: out = LN(dense2 + att_ln)
     g_sum2 = _layernorm_bwd(g_out, acts.dense2 + att_ln, lp["out_ln"],
                             cfg.layer_norm_eps)
@@ -433,8 +465,11 @@ def layer_backward(g_out: Array, x_in: Array, att_ln: Array,
     g_ctx = g_sum1 @ lp["attn_out"]["kernel"].T
     g_o = _heads(g_ctx, cfg)
     ap = attn_precision
+    probs_av = acts.probs if acts.probs_m is None else acts.probs_m
     g_probs = jnp.einsum("hid,hjd->hij", g_o, acts.v, precision=ap)
-    g_v = jnp.einsum("hij,hid->hjd", acts.probs, g_o, precision=ap)
+    g_v = jnp.einsum("hij,hid->hjd", probs_av, g_o, precision=ap)
+    if acts.probs_m is not None:
+        g_probs = g_probs * head_mask[:, None, None]
     inner = (g_probs * acts.probs).sum(axis=-1, keepdims=True)
     g_raw = (acts.probs * (g_probs - inner)) / jnp.sqrt(
         jnp.asarray(cfg.head_dim, x_in.dtype))
@@ -455,7 +490,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  matmul_precision: str = "float32",
                  attn_precision: Optional[str] = None,
                  mlp_precision: Optional[str] = None,
-                 fuse_grad_cam: bool = False
+                 fuse_grad_cam: bool = False,
+                 head_mask: Optional[Array] = None
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """Fused reverse scan: class gradient w.r.t. every post-softmax attention
     map + LRP relevance, sharing one recompute per layer (see
@@ -492,6 +528,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         R = rp.index_select_relprop(res.seq_out, 0, jnp.array(0), R[None, :])
 
     if use_kernel:
+        assert head_mask is None, \
+            "head_mask is an XLA-path feature (dormant in the reference)"
         assert need_grads and need_relprop and variant == "ours" \
             and alpha == 1.0, "kernel path: fused method, ours rules only"
         assert cfg.hidden_act == "gelu", \
@@ -524,19 +562,22 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
     def step(carry, xs):
         g_out, Rc = carry
-        x_in, att_ln, lp = xs
+        x_in, att_ln, lp, hm = xs
         _, _, acts = _layer_acts(x_in, att_ln, lp, res.ext_mask, cfg,
-                                 attn_precision=attn_precision)
+                                 attn_precision=attn_precision,
+                                 head_mask=hm)
         if need_grads:
             g_in, g_tap = layer_backward(g_out, x_in, att_ln, acts, lp, cfg,
-                                         attn_precision=attn_precision)
+                                         attn_precision=attn_precision,
+                                         head_mask=hm)
         else:
             g_in, g_tap = g_out, None
         if need_relprop:
             R_in, attn_cam = layer_relprop(Rc, x_in, att_ln, lp,
                                            res.ext_mask, cfg, alpha, variant,
                                            acts=acts,
-                                           relprop_precision=relprop_precision)
+                                           relprop_precision=relprop_precision,
+                                           head_mask=hm)
         else:
             R_in, attn_cam = Rc, None
         if fuse_grad_cam:
@@ -549,7 +590,7 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     (_, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
         step, (g_final if need_grads else jnp.zeros(()),
                R if need_relprop else jnp.zeros(())),
-        (res.x_ins, res.att_lns, params["layers"]), reverse=True)
+        (res.x_ins, res.att_lns, params["layers"], head_mask), reverse=True)
     if fuse_grad_cam:
         return R_tokens, attn_cams, None
     return (R_tokens if need_relprop else None,
