@@ -33,17 +33,6 @@ def test_resize_parity(lib):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_topk_threshold_parity(lib):
-    rng = np.random.RandomState(2)
-    v = rng.randn(5, 100).astype(np.float32)
-    for k in (1, 10, 100):
-        got = native.topk_threshold(v, k, native=True)
-        want = native.topk_threshold(v, k, native=False)
-        np.testing.assert_array_equal(got, want)
-    # masking exactly k elements per row when values are distinct
-    thr = native.topk_threshold(v, 10)
-    assert ((v >= thr[:, None]).sum(axis=1) == 10).all()
-
 
 def test_threads_consistency(lib):
     rng = np.random.RandomState(3)

@@ -103,7 +103,9 @@ class Demo:
         if hm.ndim == 1:                       # token row -> grid
             hm = hm.reshape(g, g)
         if hm.shape != (S, S):
-            hm = np.asarray(jax.image.resize(hm, (S, S), "bilinear"))
+            from transformer_explainability_tpu import native
+            hm = native.resize_bilinear_chw(
+                hm[None, None].astype(np.float32), S, S)[0, 0]
         hm = (hm - hm.min()) / (hm.max() - hm.min() + 1e-12)
         img01 = (x.transpose(1, 2, 0) * STD) + MEAN
         return show_cam_on_image(np.clip(img01, 0, 1), hm)

@@ -35,9 +35,14 @@ SEG_METHODS = {
 
 
 def upsample_bilinear(x: np.ndarray, size: int = 224) -> np.ndarray:
-    """(B, h, w) -> (B, size, size), torch align_corners=False semantics."""
-    return np.asarray(jax.image.resize(
-        jax.numpy.asarray(x), (x.shape[0], size, size), method="bilinear"))
+    """(B, h, w) -> (B, size, size), torch align_corners=False semantics.
+
+    Native multithreaded host kernel (parity-tested vs jax.image.resize,
+    which remains the fallback) — the heatmaps are host-side numpy at this
+    point, so resizing here avoids a host->device->host round trip."""
+    from transformer_explainability_tpu import native
+    x = np.asarray(x, np.float32)
+    return native.resize_bilinear_chw(x[:, None], size, size)[:, 0]
 
 
 def postprocess(res: np.ndarray, thr: float = 0.0):

@@ -117,10 +117,11 @@ def compute_saliency_and_save(data_iter: Iterable[Tuple[np.ndarray, np.ndarray]]
             if method == "full_lrp":
                 res = heat.reshape(B, 1, cfg.img_size, cfg.img_size)
             else:
-                res = np.asarray(jax.image.resize(
-                    jnp.asarray(heat.reshape(B, g, g)),
-                    (B, cfg.img_size, cfg.img_size), method="bilinear")
-                )[:, None]
+                # native multithreaded host resize (numpy is host-side here;
+                # jax.image fallback inside when the toolchain is absent)
+                from transformer_explainability_tpu import native
+                res = native.resize_bilinear_chw(
+                    heat.reshape(B, 1, g, g), cfg.img_size, cfg.img_size)
             # per-image min-max: the reference's normalization line (:100)
             # runs at its default batch_size=1, i.e. per image — a batch
             # min-max would make each stored map depend on which images

@@ -5,7 +5,6 @@ file (cached across runs) and exposes:
 
   * :func:`normalize_chw`  — uint8 (B,H,W,3) -> float32 (B,3,H,W) mean/std
   * :func:`resize_bilinear_chw` — float32 (B,C,H,W) -> (B,C,OH,OW)
-  * :func:`topk_threshold` — per-row k-th largest value
 
 Every function has a numpy fallback (``native=False`` or g++ unavailable),
 so the package never hard-depends on the toolchain.
@@ -63,7 +62,6 @@ def load() -> Optional[ctypes.CDLL]:
                                          f32p, ci]
         lib.te_resize_bilinear_chw.argtypes = [f32p, f32p, i64, i64, i64,
                                                i64, i64, i64, ci]
-        lib.te_topk_threshold.argtypes = [f32p, f32p, i64, i64, i64, ci]
         _lib = lib
         return _lib
 
@@ -108,16 +106,3 @@ def resize_bilinear_chw(x: np.ndarray, out_h: int, out_w: int,
                                out_h, out_w, threads)
     return dst
 
-
-def topk_threshold(vals: np.ndarray, k: int, native: bool = True,
-                   threads: int = DEFAULT_THREADS) -> np.ndarray:
-    """Per-row k-th largest value of (B, N) -> (B,)."""
-    vals = np.ascontiguousarray(vals, np.float32)
-    B, N = vals.shape
-    lib = load() if native else None
-    if lib is None:
-        k_eff = min(max(k, 1), N)
-        return np.partition(vals, N - k_eff, axis=1)[:, N - k_eff].copy()
-    thr = np.empty((B,), np.float32)
-    lib.te_topk_threshold(_f32p(vals), _f32p(thr), B, N, k, threads)
-    return thr

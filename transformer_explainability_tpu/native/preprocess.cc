@@ -9,8 +9,6 @@
 //     multithreaded over the batch;
 //   * resize_bilinear_chw: float32 CHW bilinear resize (align_corners=false,
 //     matching jax.image.resize/torch default semantics);
-//   * topk_threshold: per-image k-th largest value via nth_element — the
-//     host fallback for perturbation masking.
 //
 // Exposed as a plain C ABI consumed via ctypes
 // (transformer_explainability_tpu/native/__init__.py). Build: `make -C
@@ -102,22 +100,6 @@ void te_resize_bilinear_chw(const float* src, float* dst, int64_t B,
           d[oy * OW + ox] = top * (1 - wy) + bot * wy;
         }
       }
-    }
-  });
-}
-
-// For each row (length N), write the k-th largest value into thr[b].
-void te_topk_threshold(const float* vals, float* thr, int64_t B, int64_t N,
-                       int64_t k, int threads) {
-  if (k < 1) k = 1;
-  if (k > N) k = N;
-  parallel_for_batch(B, threads, [&](int64_t b0, int64_t b1) {
-    std::vector<float> buf(N);
-    for (int64_t b = b0; b < b1; ++b) {
-      std::memcpy(buf.data(), vals + b * N, N * sizeof(float));
-      std::nth_element(buf.begin(), buf.begin() + (k - 1), buf.end(),
-                       std::greater<float>());
-      thr[b] = buf[k - 1];
     }
   });
 }
