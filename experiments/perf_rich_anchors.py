@@ -46,8 +46,9 @@ def main():
         print(k, v, flush=True)
 
     for mode in args.modes.split(","):
-        for rich in ("0", "1"):
-            os.environ["TE_TPU_RICH_ANCHORS"] = rich
+        for rich in ("0", "1", "1m"):
+            os.environ["TE_TPU_RICH_ANCHORS"] = "1" if rich != "0" else "0"
+            os.environ["TE_TPU_RICH_MLP"] = "1" if rich == "1m" else "0"
             fn = make_explain_fn(cfg, "transformer_attribution",
                                  **PRECISION_PRESETS[
                                      "production" if mode == "prod" else mode])

@@ -142,8 +142,19 @@ def main(argv=None):
     from transformer_explainability_tpu.models.vit import init_params
 
     p = argparse.ArgumentParser(description="Pre-generate saliency maps")
-    p.add_argument("--imagenet-dir", required=True,
+    p.add_argument("--imagenet-dir", "--imagenet-validation-path",
+                   dest="imagenet_dir", required=True,
                    help="directory of class-subdir images (ImageNet-val style)")
+    # Reference-CLI compatibility: the reference parses --lmd/--cls-agn and
+    # five --no-* ablation switches but never reads any of them anywhere
+    # (generate_visualizations.py:115-145 — add_argument only, grep-verified)
+    # — accepted here so reference command lines run unchanged; inert by
+    # construction, exactly as upstream.
+    p.add_argument("--lmd", type=float, default=10, help=argparse.SUPPRESS)
+    p.add_argument("--cls-agn", action="store_true", help=argparse.SUPPRESS)
+    for flag in ("no-ia", "no-fx", "no-fgx", "no-m", "no-reg"):
+        p.add_argument(f"--{flag}", action="store_true",
+                       help=argparse.SUPPRESS)
     p.add_argument("--method", default="transformer_attribution",
                    choices=sorted(VIS_METHODS))
     p.add_argument("--vis-class", default="top",
