@@ -694,6 +694,47 @@ def test_block_fwd_core_save_attn_anchors():
         jax.config.update("jax_enable_x64", False)
 
 
+def test_block_fwd_core_save_mlp_anchors():
+    """save_mlp=True additionally returns (fc1_pre, fc2_pre) consistent
+    with the block math, base outputs unchanged (f64 interpret)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import block_fwd_core
+    from transformer_explainability_tpu.models import vit as vit_mod
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = vit_mod.ViTConfig(img_size=32, patch_size=16, embed_dim=24,
+                                depth=1, num_heads=4, num_classes=4)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float64),
+            vit_mod.init_params(jax.random.PRNGKey(4), cfg))
+        bp = jax.tree.map(lambda a: a[0], params["blocks"])
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(cfg.num_tokens, cfg.embed_dim))
+        kw = dict(mxu="float32", attn_mxu="float32",
+                  use_pallas=True, interpret=True)
+        plain = block_fwd_core(x, bp, cfg.num_heads, cfg.head_dim,
+                               cfg.block_ln_eps, **kw)
+        rich = block_fwd_core(x, bp, cfg.num_heads, cfg.head_dim,
+                              cfg.block_ln_eps, save_attn=True,
+                              save_mlp=True, **kw)
+        assert len(rich) == 9
+        for a, b in zip(plain, rich[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=0)
+        fc1_pre, fc2_pre = rich[7], rich[8]
+        x_mid = rich[1]
+        xn2 = vit_mod._layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
+        want_fc1 = xn2 @ bp["fc1"]["kernel"]
+        np.testing.assert_allclose(np.asarray(fc1_pre), np.asarray(want_fc1),
+                                   rtol=1e-9, atol=1e-12)
+        hg = jax.nn.gelu(want_fc1 + bp["fc1"]["bias"], approximate=False)
+        np.testing.assert_allclose(np.asarray(fc2_pre),
+                                   np.asarray(hg @ bp["fc2"]["kernel"]),
+                                   rtol=1e-9, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_block_rev_core_saved_anchors_match_recompute():
     """The rich-anchor reverse step == the recompute reverse step when the
     anchors come from the forward kernel (f64 interpret: both paths see the
@@ -741,6 +782,24 @@ def test_block_rev_core_saved_anchors_match_recompute():
         for g, w, name in zip(got_f, want, ("g_in", "R_in", "gc")):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-9, atol=1e-12, err_msg=name)
+
+        # 6-tuple form (MLP anchors too) — both kernel and jnp fallback
+        rich6 = pk.block_fwd_core(x_in, bp, cfg.num_heads, cfg.head_dim,
+                                  cfg.block_ln_eps, save_attn=True,
+                                  save_mlp=True, mxu="float32",
+                                  attn_mxu="float32", use_pallas=True,
+                                  interpret=True)
+        saved6 = rich6[3:]
+        for use_pallas in (True, False):
+            got6 = pk.block_rev_core(
+                x_in, x_mid, out_m, g_out, R, bp, cfg.num_heads,
+                cfg.head_dim, cfg.block_ln_eps, saved=saved6,
+                mxu="float32", attn_mxu="float32", rule_mxu="float32",
+                use_pallas=use_pallas, interpret=use_pallas)
+            for g, w, name in zip(got6, want, ("g_in", "R_in", "gc")):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name} (saved6, pallas={use_pallas})")
     finally:
         jax.config.update("jax_enable_x64", False)
 
@@ -758,10 +817,12 @@ def test_explain_rich_anchor_path_matches_recompute_path():
     rng = np.random.RandomState(5)
     img = jnp.asarray(rng.randn(3, 32, 32).astype(np.float32))
 
-    def run(rich):
+    def run(rich, rich_mlp=False):
         env = os.environ
-        old = env.get("TE_TPU_RICH_ANCHORS")
+        old = {k: env.get(k) for k in ("TE_TPU_RICH_ANCHORS",
+                                       "TE_TPU_RICH_MLP")}
         env["TE_TPU_RICH_ANCHORS"] = "1" if rich else "0"
+        env["TE_TPU_RICH_MLP"] = "1" if rich_mlp else "0"
         try:
             with jax.default_matmul_precision("tensorfloat32"):
                 return np.asarray(jax.jit(
@@ -770,11 +831,14 @@ def test_explain_rich_anchor_path_matches_recompute_path():
                         matmul_precision="tensorfloat32"))(
                     params, img, jnp.int32(3)))
         finally:
-            if old is None:
-                env.pop("TE_TPU_RICH_ANCHORS", None)
-            else:
-                env["TE_TPU_RICH_ANCHORS"] = old
+            for k, v in old.items():
+                if v is None:
+                    env.pop(k, None)
+                else:
+                    env[k] = v
 
     a = run(False)
     b = run(True)
+    c = run(True, rich_mlp=True)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-8)

@@ -64,13 +64,21 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                    unroll: Optional[int] = None,
                    matmul_precision: str = "float32",
                    use_attn_kernel: Optional[bool] = None,
-                   mlp_precision: Optional[str] = None) -> Array:
+                   mlp_precision: Optional[str] = None,
+                   mlp_fwd_precision: Optional[str] = None,
+                   mlp_bwd_precision: Optional[str] = None) -> Array:
     """Single-image explanation; ``index`` is an int32 scalar (-1 = argmax).
 
     Output shapes (matching the reference per method):
       * patch-token methods -> (num_patches,) CLS-row relevance;
       * "full" -> (H, W) pixel relevance;
       * "attn_gradcam" -> (grid, grid) min-max-normalized map.
+
+    ``mlp_fwd_precision`` / ``mlp_bwd_precision``: optional finer-grained
+    overrides of ``mlp_precision`` for the forward-trunk fc1/fc2 dots vs
+    the reverse-side (backward-gradient) ones. On the full rich-anchor
+    path these are truly independent — the reverse consumes saved
+    linearization points, so no consistency constraint couples them.
     """
     if method not in METHODS:
         raise ValueError(
@@ -99,8 +107,12 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     # anchors and the XLA reverse recompute stay bitwise-consistent (a
     # kernel forward against an XLA reverse amplifies ulp-level anchor
     # deltas through the safe-divide chains — PERF.md round 2b)
+    mlp_fwd = (mlp_fwd_precision if mlp_fwd_precision is not None
+               else mlp_precision)
+    mlp_bwd = (mlp_bwd_precision if mlp_bwd_precision is not None
+               else mlp_precision)
     if pk.islands_exceed_base(matmul_precision, relprop_precision,
-                              mlp_precision):
+                              mlp_fwd, mlp_bwd):
         use_attn_kernel = False
     # rich anchors (megakernel path only): the forward kernel additionally
     # emits qkv_pre/proj_pre/dots/probs so the reverse kernel skips those
@@ -111,6 +123,10 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                     and matmul_precision in ("bfloat16", "tensorfloat32")
                     and not vit_mod._NO_BLOCK_KERNEL
                     and os.environ.get("TE_TPU_RICH_ANCHORS", "1") != "0")
+    # MLP anchors on top (fc1_pre/fc2_pre, ~+3 MB/block): skips the two MLP
+    # forward-recompute dots in the reverse megakernel. TE_TPU_RICH_MLP=0
+    # keeps the attention-only anchor set.
+    rich_mlp = os.environ.get("TE_TPU_RICH_MLP", "1") != "0"
     # full unroll by default: the block count is small and static (12/24);
     # unrolling removes the scan's per-step buffer rotations + parameter
     # dynamic-slices and lets XLA overlap across blocks (+7-18% measured,
@@ -122,8 +138,9 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
                                           unroll=unroll,
                                           use_attn_kernel=use_attn_kernel,
                                           matmul_precision=matmul_precision,
-                                          mlp_precision=mlp_precision,
-                                          rich_anchors=rich_anchors)
+                                          mlp_precision=mlp_fwd,
+                                          rich_anchors=rich_anchors,
+                                          rich_mlp=rich_mlp)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_classes)
         # one fused reverse scan: class gradients + relprop share a single
@@ -135,7 +152,7 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
             attn_precision=attn_precision, fuse_grad_cam=fuse_gc,
             unroll=unroll, use_attn_kernel=use_attn_kernel,
             matmul_precision=matmul_precision,
-            mlp_precision=mlp_precision)
+            mlp_precision=mlp_bwd)
     else:
         R_tokens = attn_cams = attn_grads = None
 
@@ -218,7 +235,9 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     matmul_precision: str = "float32",
                     relprop_precision: Optional[str] = None,
                     attn_precision: Optional[str] = None,
-                    mlp_precision: Optional[str] = None):
+                    mlp_precision: Optional[str] = None,
+                    mlp_fwd_precision: Optional[str] = None,
+                    mlp_bwd_precision: Optional[str] = None):
     """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
 
     images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
@@ -235,6 +254,9 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
     chain; "bfloat16" with tf32 elsewhere is the measured speed/fidelity
     sweet spot — PERF.md). Applies on the fused-kernel paths (TPU,
     transformer_attribution); the pure-XLA fallback ignores it.
+    ``mlp_fwd_precision`` / ``mlp_bwd_precision``: finer split of
+    ``mlp_precision`` — forward-trunk vs reverse-side fc dots (see
+    :func:`explain_single`).
     """
 
     def single(params, img, index):
@@ -243,7 +265,9 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                                   start_layer, is_ablation, alpha, variant,
                                   relprop_precision, attn_precision,
                                   matmul_precision=matmul_precision,
-                                  mlp_precision=mlp_precision)
+                                  mlp_precision=mlp_precision,
+                                  mlp_fwd_precision=mlp_fwd_precision,
+                                  mlp_bwd_precision=mlp_bwd_precision)
 
     return jax.jit(jax.vmap(single, in_axes=(None, 0, 0)))
 

@@ -267,6 +267,11 @@ class Residuals(NamedTuple):
     proj_pres: Optional[Array] = None  # (L, n, D)
     dots: Optional[Array] = None       # (L, h*n, n)
     probs: Optional[Array] = None      # (L, h*n, n)
+    # MLP anchors (megakernel path with save_mlp): pre-bias fc1/fc2 matmul
+    # outputs — the reverse megakernel skips the two MLP forward-recompute
+    # dots too (~11% more of its passes) at ~+3 MB/block (PERF.md round 3b)
+    fc1_pres: Optional[Array] = None   # (L, n, M)
+    fc2_pres: Optional[Array] = None   # (L, n, D)
 
 
 def embed(params: Params, img: Array, cfg: ViTConfig) -> Tuple[Array, Array]:
@@ -298,7 +303,8 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
                     use_attn_kernel: bool = False,
                     matmul_precision: str = "float32",
                     mlp_precision: Optional[str] = None,
-                    rich_anchors: bool = False
+                    rich_anchors: bool = False,
+                    rich_mlp: bool = True
                     ) -> Tuple[Array, Residuals]:
     """Forward pass returning logits + the residuals for relprop.
 
@@ -341,20 +347,21 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
             if rich_anchors:
                 def step_fused_rich(x, xs):
                     bp, ws = xs
-                    (x_out, x_mid, out_merged, qkv_pre, proj_pre, dots,
-                     probs) = pk.block_fwd_core(
+                    outs_k = pk.block_fwd_core(
                         x, bp, cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
                         mxu=matmul_precision, attn_mxu=fwd_mxu,
-                        mlp_mxu=mlp_mxu, ws=ws, save_attn=True)
-                    return x_out, (x, x_mid, out_merged, qkv_pre, proj_pre,
-                                   dots, probs)
+                        mlp_mxu=mlp_mxu, ws=ws, save_attn=True,
+                        save_mlp=rich_mlp)
+                    return outs_k[0], (x,) + outs_k[1:]
 
-                x_final, (x_ins, x_mids, outs, qkv_pres, proj_pres, dots,
-                          probs) = jax.lax.scan(
+                keys = ["x_mids", "outs", "qkv_pres", "proj_pres", "dots",
+                        "probs"] + (["fc1_pres", "fc2_pres"] if rich_mlp
+                                    else [])
+                x_final, (x_ins, *stacked) = jax.lax.scan(
                     step_fused_rich, x0, (params["blocks"], w_prep),
                     unroll=unroll)
-                rich = dict(qkv_pres=qkv_pres, proj_pres=proj_pres,
-                            dots=dots, probs=probs)
+                rich = dict(zip(keys, stacked))
+                x_mids, outs = rich.pop("x_mids"), rich.pop("outs")
             else:
                 def step_fused(x, xs):
                     bp, ws = xs
@@ -714,17 +721,15 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             # pk.prepare_block_weights (correctness-critical on this
             # toolchain, not just faster)
             w_prep = pk.prepare_block_weights(params["blocks"], mlp_mxu)
-            rich = res.qkv_pres is not None
+            saved_fields = [res.qkv_pres, res.proj_pres, res.dots, res.probs]
+            if res.fc1_pres is not None:
+                saved_fields += [res.fc1_pres, res.fc2_pres]
+            n_saved = 0 if res.qkv_pres is None else len(saved_fields)
 
             def kstep_block(carry, xs):
                 g_out, Rc = carry
-                if rich:
-                    (x_in, x_mid, out_m, bp, ws, qkv_pre, proj_pre, dots,
-                     probs) = xs
-                    saved = (qkv_pre, proj_pre, dots, probs)
-                else:
-                    x_in, x_mid, out_m, bp, ws = xs
-                    saved = None
+                x_in, x_mid, out_m, bp, ws = xs[:5]
+                saved = xs[5:] if n_saved else None
                 g_in, R_in, gc = pk.block_rev_core(
                     x_in, x_mid, out_m, g_out, Rc, bp,
                     cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
@@ -734,8 +739,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
             assert res.outs is not None
             xs = (res.x_ins, res.x_mids, res.outs, params["blocks"], w_prep)
-            if rich:
-                xs = xs + (res.qkv_pres, res.proj_pres, res.dots, res.probs)
+            if n_saved:
+                xs = xs + tuple(saved_fields)
             (g0, R_tokens), (gc_maps,) = jax.lax.scan(
                 kstep_block, (g_final, R), xs, reverse=True, unroll=unroll)
             return R_tokens, gc_maps, None

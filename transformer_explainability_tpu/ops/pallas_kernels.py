@@ -513,7 +513,7 @@ def _ln_fwd(x, s, b, eps):
 
 def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
                   eps: float, mxu: str, rule_mxu: str,
-                  mlp_mxu: Optional[str] = None):
+                  mlp_mxu: Optional[str] = None, saved_mlp=None):
     """The MLP half of the fused reverse step, on arrays (shared by the
     standalone MLP kernel and the whole-block megakernel).
 
@@ -521,17 +521,28 @@ def _mlp_rev_math(x_mid, g_out, R, s, b, b1, b2, w1, w2, *,
     forward-recompute + backward dots (None = ``mxu``). The MLP dots are
     ~45% of a block's reverse-side fwd/bwd matmul FLOPs; dropping them
     to 1-pass bf16 while the attention-gradient chain stays tf32 is the
-    measured sweet spot (see PERF.md)."""
+    measured sweet spot (see PERF.md).
+
+    ``saved_mlp``: optional (fc1_pre, fc2_pre) forward anchors — skips the
+    two forward-recompute dots. The anchors were computed by the forward
+    kernel from the SAME x_mid via the same ``_ln_fwd``/dot math, so every
+    rule divides by the exact value its numerator was linearized at (the
+    round-2b anchor-consistency requirement)."""
     mmx = mlp_mxu or mxu
     dt = x_mid.dtype
     half = jnp.asarray(0.5, dt)
 
-    # forward recompute (LN -> fc1 -> gelu -> fc2), (n, M) stays in VMEM
+    # forward recompute (LN -> fc1 -> gelu -> fc2), (n, M) stays in VMEM;
+    # with saved_mlp only the LN statistics are recomputed (VPU, cheap)
     xn2, mu, inv = _ln_fwd(x_mid, s, b, eps)
-    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mmx)
+    if saved_mlp is not None:
+        fc1_pre, fc2_pre = saved_mlp
+    else:
+        fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mmx)
     h1 = fc1_pre + b1
     hg = _gelu_exact(h1)
-    fc2_pre = _kdot(hg, w2, ((1,), (0,)), mmx)
+    if saved_mlp is None:
+        fc2_pre = _kdot(hg, w2, ((1,), (0,)), mmx)
     mlp_out = fc2_pre + b2
 
     # backward (models/vit.block_backward MLP half)
@@ -901,18 +912,22 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
                     mlp_mxu=None, saved=None):
     """The whole fused reverse step of one block (vit.reverse_pass kstep).
 
-    ``saved``: optional (qkv_pre, proj_pre, dots, probs) rich forward
-    anchors (dots/probs row-stacked (h*n, n); qkv_pre/proj_pre are the
-    pre-bias matmul outputs). When given, the qkv/proj/QK^T/softmax/AV
-    recomputes are all skipped — ~17% of the kernel's MXU passes in the
-    production mode — and every linearization point comes from ONE
-    internally-consistent family (the forward kernel's own values), which
-    is strictly safer than recompute w.r.t. the round-2b anchor-mismatch
-    failure mode."""
+    ``saved``: optional (qkv_pre, proj_pre, dots, probs[, fc1_pre,
+    fc2_pre]) rich forward anchors (dots/probs row-stacked (h*n, n);
+    the ``*_pre`` entries are pre-bias matmul outputs). When given, the
+    qkv/proj/QK^T/softmax/AV recomputes are all skipped — ~17% of the
+    kernel's MXU passes in the production mode — and, with the 6-tuple,
+    the two MLP forward-recompute dots too (~11% more). Every
+    linearization point comes from ONE internally-consistent family (the
+    forward kernel's own values), which is strictly safer than recompute
+    w.r.t. the round-2b anchor-mismatch failure mode."""
     dt = x_in.dtype
+    saved_mlp = None
     xn1, mu1, inv1 = _ln_fwd(x_in, ln1s, ln1b, eps)
     if saved is not None:
-        s_qkv_pre, s_proj_pre, s_dots, s_probs = saved
+        s_qkv_pre, s_proj_pre, s_dots, s_probs = saved[:4]
+        if len(saved) == 6:
+            saved_mlp = saved[4:]
         qkv_pre = s_qkv_pre
         qkv = qkv_pre + bqkv          # same add on the same values as the
         proj_pre = s_proj_pre         # forward kernel -> bitwise equal
@@ -930,7 +945,7 @@ def _block_rev_math(x_in, x_mid, out_m, g_out, R,
     # MLP half
     g_mid, Rm = _mlp_rev_math(x_mid, g_out, R, ln2s, ln2b, b1, b2, w1, w2,
                               eps=eps, mxu=mxu, rule_mxu=rule_mxu,
-                              mlp_mxu=mlp_mxu)
+                              mlp_mxu=mlp_mxu, saved_mlp=saved_mlp)
 
     g_om = _kdot(g_mid, wproj, ((1,), (1,)), mxu)
 
@@ -1012,16 +1027,16 @@ def prepare_block_weights(blocks: dict, mxu: str):
 
 
 def _block_rev_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      rule_mxu, mlp_mxu, paired, with_saved=False):
+                      rule_mxu, mlp_mxu, paired, n_saved=0):
     (x_in_ref, x_mid_ref, out_ref, g_out_ref, R_ref,
      ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:13]
     g_in_ref, R_in_ref, gc_ref = refs[-3:]
     w_refs = refs[13:-3]
     saved = None
-    if with_saved:
-        saved = tuple(r[:] for r in w_refs[-4:])
-        w_refs = w_refs[:-4]
+    if n_saved:
+        saved = tuple(r[:] for r in w_refs[-n_saved:])
+        w_refs = w_refs[:-n_saved]
     wqkv, wproj, w1, w2 = _read_weight_refs(w_refs, paired)
     g_in, R_in, gc = _block_rev_math(
         x_in_ref[:], x_mid_ref[:], out_ref[:], g_out_ref[:], R_ref[:],
@@ -1062,8 +1077,9 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
     (see the prepare_block_weights docstring for why).
 
     ``saved``: optional rich anchors (qkv_pre, proj_pre, dots, probs) from
-    ``block_fwd_core(save_attn=True)`` — skips those recomputes in-kernel
-    (see :func:`_block_rev_math`).
+    ``block_fwd_core(save_attn=True)`` — skips those recomputes in-kernel;
+    the 6-tuple form (… , fc1_pre, fc2_pre from ``save_mlp=True``) also
+    skips the MLP forward-recompute dots (see :func:`_block_rev_math`).
     """
     scale = head_dim ** -0.5
     if use_pallas is None:
@@ -1106,7 +1122,7 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
                           attn_mxu=attn_mxu, rule_mxu=rule_mxu,
                           mlp_mxu=mlp_mxu, paired=paired,
-                          with_saved=saved is not None),
+                          n_saved=len(extra)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
             13 + len(w_flat) + len(extra)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
@@ -1130,10 +1146,13 @@ def block_rev_core(x_in, x_mid, out_m, g_out, R, bp,
 def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
                     wqkv, wproj, w1, w2, *,
                     num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                    mlp_mxu=None, save_attn=False):
+                    mlp_mxu=None, save_attn=False, save_mlp=False):
     """``save_attn``: additionally return the rich anchors
     (qkv_pre (n, 3D), proj_pre (n, D), dots (h*n, n), probs (h*n, n)) the
-    rich-anchor reverse step consumes (see :func:`_block_rev_math`)."""
+    rich-anchor reverse step consumes (see :func:`_block_rev_math`).
+    ``save_mlp`` (requires ``save_attn``): also return the MLP anchors
+    (fc1_pre (n, M), fc2_pre (n, D)) so the reverse step skips the two
+    MLP forward-recompute dots as well (~+3 MB/block/sample)."""
     mmx = mlp_mxu or mxu
     dt = x.dtype
     D = num_heads * head_dim
@@ -1156,22 +1175,24 @@ def _block_fwd_math(x, ln1s, ln1b, ln2s, ln2b, bqkv, bproj, b1, b2,
     attn_out = proj_pre + bproj
     x_mid = x + attn_out
     xn2, _, _ = _ln_fwd(x_mid, ln2s, ln2b, eps)
-    h1 = _kdot(xn2, w1, ((1,), (0,)), mmx) + b1
-    hg = _gelu_exact(h1)
-    mlp_out = _kdot(hg, w2, ((1,), (0,)), mmx) + b2
-    x_out = x_mid + mlp_out
+    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mmx)
+    hg = _gelu_exact(fc1_pre + b1)
+    fc2_pre = _kdot(hg, w2, ((1,), (0,)), mmx)
+    x_out = x_mid + (fc2_pre + b2)
     if save_attn:
-        return (x_out, x_mid, out_m, qkv_pre, proj_pre,
+        outs = (x_out, x_mid, out_m, qkv_pre, proj_pre,
                 jnp.concatenate(dots_l, axis=0),
                 jnp.concatenate(probs_l, axis=0))
+        return outs + (fc1_pre, fc2_pre) if save_mlp else outs
+    assert not save_mlp, "save_mlp requires save_attn"
     return x_out, x_mid, out_m
 
 
 def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
-                      mlp_mxu, paired, save_attn=False):
+                      mlp_mxu, paired, save_attn=False, save_mlp=False):
     (x_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bqkv_ref, bproj_ref, b1_ref, b2_ref) = refs[:9]
-    n_out = 7 if save_attn else 3
+    n_out = 3 + (4 if save_attn else 0) + (2 if save_mlp else 0)
     out_refs = refs[-n_out:]
     wqkv, wproj, w1, w2 = _read_weight_refs(refs[9:-n_out], paired)
     outs = _block_fwd_math(
@@ -1179,7 +1200,8 @@ def _block_fwd_kernel(*refs, num_heads, head_dim, scale, eps, mxu, attn_mxu,
         bqkv_ref[:], bproj_ref[:], b1_ref[:], b2_ref[:],
         wqkv, wproj, w1, w2,
         num_heads=num_heads, head_dim=head_dim, scale=scale, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, save_attn=save_attn)
+        mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, save_attn=save_attn,
+        save_mlp=save_mlp)
     for r, o in zip(out_refs, outs):
         r[:] = o
 
@@ -1190,7 +1212,8 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                    use_pallas: Optional[bool] = None,
                    interpret: bool = False,
                    ws: Optional[tuple] = None,
-                   save_attn: bool = False):
+                   save_attn: bool = False,
+                   save_mlp: bool = False):
     """ONE kernel for a full ViT block forward; returns
     (x_out, x_mid, out_merged) — the fused reverse pass's three anchors.
     ``ws``: this block's slice of :func:`prepare_block_weights` (callers
@@ -1199,7 +1222,10 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
     ``save_attn=True`` additionally returns the rich anchors
     (qkv_pre, proj_pre, dots, probs) for :func:`block_rev_core`'s
     ``saved`` argument — trading ~6 MB/block HBM for ~17% of the reverse
-    kernel's MXU passes (the qkv/proj/QK^T/softmax/AV recomputes)."""
+    kernel's MXU passes (the qkv/proj/QK^T/softmax/AV recomputes).
+    ``save_mlp=True`` (with ``save_attn``) appends (fc1_pre, fc2_pre),
+    letting the reverse also skip the two MLP forward-recompute dots
+    (~11% more) for ~+3 MB/block."""
     scale = head_dim ** -0.5
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -1228,7 +1254,7 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                                num_heads=num_heads, head_dim=head_dim,
                                scale=scale, eps=eps, mxu=mxu,
                                attn_mxu=attn_mxu, mlp_mxu=mlp_mxu,
-                               save_attn=save_attn)
+                               save_attn=save_attn, save_mlp=save_mlp)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     out_shape = [jax.ShapeDtypeStruct((n, D), dt)] * 3
@@ -1237,11 +1263,15 @@ def block_fwd_core(x, bp, num_heads: int, head_dim: int, eps: float,
                       jax.ShapeDtypeStruct((n, D), dt),
                       jax.ShapeDtypeStruct((num_heads * n, n), dt),
                       jax.ShapeDtypeStruct((num_heads * n, n), dt)]
+    if save_mlp:
+        M = bp["fc1"]["kernel"].shape[-1]
+        out_shape += [jax.ShapeDtypeStruct((n, M), dt),
+                      jax.ShapeDtypeStruct((n, D), dt)]
     return pl.pallas_call(
         functools.partial(_block_fwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, scale=scale, eps=eps, mxu=mxu,
                           attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, paired=paired,
-                          save_attn=save_attn),
+                          save_attn=save_attn, save_mlp=save_mlp),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (9 + len(w_flat)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         out_shape=out_shape,
