@@ -142,8 +142,11 @@ def _bench_extra_models(names, rng):
                 from transformer_explainability_tpu.explain.bert_generator \
                     import make_explain_fn as bert_fn
                 S = int(name.split("_s")[1]) if "_s" in name else 512
+                # measured optima (PERF.md round 3c batch sweep): S=512
+                # plateaus at B=48 (~437/s vs ~260 at the old B=8), S=128
+                # at B=128
                 B = int(os.environ.get(
-                    "BENCH_BERT_BATCH", "8" if S >= 384 else "96"))
+                    "BENCH_BERT_BATCH", "48" if S >= 384 else "128"))
                 cfg = BertConfig()
                 params = bert_init(jax.random.PRNGKey(0), cfg)
                 fn = bert_fn(cfg, "transformer_attribution",
@@ -224,6 +227,12 @@ def main():
             parity = best
         else:
             parity = _bench_mode(cfg, params, rng, "float32", None, None, [B])
+            if parity is None and B > 64:
+                # robustness: if the f32 mode OOMs at the production batch
+                # (e.g. with TE_TPU_RICH_XLA=1 anchors, ~113 MB/sample),
+                # fall back to 64 rather than dropping the parity row
+                parity = _bench_mode(cfg, params, rng, "float32", None, None,
+                                     [64])
 
     out = {
         "metric": "vit_b16_transformer_attribution_explanations_per_sec_per_chip",

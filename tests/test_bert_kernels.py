@@ -201,3 +201,92 @@ def test_bert_prepared_weights_match_inline():
                                       attn_mxu="float32", **kw)
         for g, w in zip(got, want2):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_bert_rich_anchors_match_recompute():
+    """Rich forward anchors (save_attn/save_mlp) feed the reverse cores the
+    exact values their recomputes would produce. On the eager math path
+    (use_pallas=False) anchored and recomputed reverses agree BITWISE; under
+    a jitted kernel body (interpret mode) XLA's fusion choices differ
+    between the two programs, so the agreement is to roundoff (same
+    convention as the ViT test_block_rev_core_saved_anchors_match_recompute,
+    asserted there in f64). Covers the single fused kernel AND the chunked
+    path, tf32 and bf16 modes, with the mlp island on."""
+    _, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=6, seed=15)
+    for mxu, probs in [("tensorfloat32", True), ("tensorfloat32", False),
+                       ("bfloat16", True)]:
+        n_attn = 5 if probs else 3
+        for mode, assert_fn in [
+                (dict(use_pallas=False, interpret=False),
+                 np.testing.assert_array_equal),
+                (dict(use_pallas=True, interpret=True),
+                 lambda a, b, err_msg: np.testing.assert_allclose(
+                     a, b, rtol=2e-6, atol=1e-7, err_msg=err_msg))]:
+            fkw = dict(num_heads=CFG.num_heads, head_dim=CFG.head_dim,
+                       eps=CFG.layer_norm_eps, mxu=mxu, attn_mxu="float32",
+                       mlp_mxu="bfloat16", **mode)
+            outs = pk.bert_layer_fwd_core(x_in, ext_mask, lp,
+                                          save_attn=True, save_probs=probs,
+                                          save_mlp=True, **fkw)
+            out, att_ln = outs[:2]
+            saved_attn = outs[2:2 + n_attn]
+            saved_mlp = outs[2 + n_attn:4 + n_attn]
+            # the anchored forward's primary outputs are unchanged
+            plain = pk.bert_layer_fwd_core(x_in, ext_mask, lp, **fkw)
+            assert_fn(np.asarray(out), np.asarray(plain[0]),
+                      err_msg=f"{mxu} fwd out")
+            assert_fn(np.asarray(att_ln), np.asarray(plain[1]),
+                      err_msg=f"{mxu} fwd att_ln")
+
+            okw = dict(mxu=mxu, rule_mxu="bfloat16", mlp_mxu="bfloat16",
+                       **mode)
+            want_o = pk.bert_out_rev_core(att_ln, g_out, R, lp,
+                                          CFG.layer_norm_eps, **okw)
+            got_o = pk.bert_out_rev_core(att_ln, g_out, R, lp,
+                                         CFG.layer_norm_eps,
+                                         saved=saved_mlp, **okw)
+            for g, w, name in zip(got_o, want_o, ("g_attln", "R_att")):
+                assert_fn(np.asarray(g), np.asarray(w),
+                          err_msg=f"{mxu} {name}")
+
+            akw = dict(mxu=mxu, attn_mxu="float32", rule_mxu="bfloat16",
+                       **mode)
+            chunks = (0, 3) if mode["interpret"] else (None,)
+            for hc in chunks:     # single fused kernel; ragged chunks
+                want_a = pk.bert_attn_rev_core(
+                    x_in, *want_o, ext_mask, lp, CFG.num_heads,
+                    CFG.head_dim, CFG.layer_norm_eps, head_chunk=hc, **akw)
+                got_a = pk.bert_attn_rev_core(
+                    x_in, *want_o, ext_mask, lp, CFG.num_heads,
+                    CFG.head_dim, CFG.layer_norm_eps, head_chunk=hc,
+                    saved=saved_attn, **akw)
+                for g, w, name in zip(got_a, want_a, ("g_in", "R_in", "gc")):
+                    assert_fn(np.asarray(g), np.asarray(w),
+                              err_msg=f"{mxu} hc={hc} {name}")
+
+
+def test_bert_rich_anchor_explain_matches_plain(monkeypatch):
+    """explain_single(use_kernel=True) with rich anchors on (default) ==
+    anchors off — end-to-end through the forward_collect/reverse_pass
+    anchor plumbing (identical linearization points; roundoff-level
+    compiler-fusion differences only)."""
+    from transformer_explainability_tpu.explain.bert_generator import (
+        explain_single)
+    params = bert_mod.init_params(jax.random.PRNGKey(7), CFG)
+    rng = np.random.RandomState(16)
+    S = 24
+    ids = jnp.asarray(rng.randint(0, CFG.vocab_size, (S,)), jnp.int32)
+    mask = jnp.asarray((np.arange(S) < 19).astype(np.float32))
+
+    def run():
+        return np.asarray(jax.jit(
+            lambda p, i, m, ix: explain_single(
+                p, i, m, ix, CFG, matmul_precision="tensorfloat32",
+                attn_precision="float32", mlp_precision="bfloat16",
+                use_kernel=True))(params, ids, mask, jnp.int32(2)))
+
+    monkeypatch.setenv("TE_TPU_RICH_ANCHORS", "1")
+    rich = run()
+    monkeypatch.setenv("TE_TPU_RICH_ANCHORS", "0")
+    plain = run()
+    np.testing.assert_allclose(rich, plain, rtol=1e-5, atol=1e-8)

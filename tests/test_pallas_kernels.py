@@ -842,3 +842,45 @@ def test_explain_rich_anchor_path_matches_recompute_path():
     c = run(True, rich_mlp=True)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-8)
+
+
+def test_explain_f32_rich_anchor_path_is_bitwise():
+    """The exact-f32 path's XLA-level rich anchors (saved pre-bias
+    qkv/proj/fc1/fc2 dot outputs consumed by the reverse kstep) replace
+    recomputes with bitwise-equal saved values — the explain output must be
+    EXACTLY unchanged, preserving the mode's reference-ordered-parity
+    contract (PERF.md round 3)."""
+    import os
+    import jax
+    from transformer_explainability_tpu.models.vit import (ViTConfig,
+                                                           init_params)
+    from transformer_explainability_tpu.explain.generator import (
+        explain_single)
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=24, depth=3,
+                    num_heads=4, num_classes=10)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.randn(3, 32, 32).astype(np.float32))
+
+    def run(rich):
+        old = {k: os.environ.get(k) for k in ("TE_TPU_RICH_ANCHORS",
+                                              "TE_TPU_RICH_XLA")}
+        os.environ["TE_TPU_RICH_ANCHORS"] = "1" if rich else "0"
+        # the XLA-path anchors are opt-in (measured speed-neutral on the
+        # bandwidth-bound f32 mode — PERF.md round 3c)
+        os.environ["TE_TPU_RICH_XLA"] = "1" if rich else "0"
+        try:
+            with jax.default_matmul_precision("float32"):
+                return np.asarray(jax.jit(
+                    lambda p, x, i: explain_single(
+                        p, x, i, cfg, use_attn_kernel=True,
+                        matmul_precision="float32"))(
+                    params, img, jnp.int32(3)))
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    np.testing.assert_array_equal(run(True), run(False))

@@ -7,6 +7,7 @@ zeroing/min-ing applied.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -90,11 +91,25 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
                       and input_ids.shape[0] <= KERNEL_MAX_SEQ
                       and matmul_precision in ("bfloat16", "tensorfloat32"))
     use_kernel = use_kernel and eligible
+    # rich anchors (kernel path): the forward kernels additionally emit
+    # the slim (qkv_pre, ctx, dense_nb) anchors so the reverse cores skip
+    # those recomputes — the BERT analog of the ViT round-3 anchor trade;
+    # bit-identical by construction (every saved value is exactly what the
+    # reverse recompute would produce). Measured +2-4% at S=512 (PERF.md
+    # round 3c; the relevant interleaved A/B — the fat anchors' HBM costs
+    # what the skipped passes cost, which is why dots/probs and the MLP
+    # anchors default OFF: TE_TPU_RICH_PROBS=1 / TE_TPU_RICH_MLP=1 opt
+    # in). Escape hatch: TE_TPU_RICH_ANCHORS=0.
+    rich_anchors = (use_kernel
+                    and os.environ.get("TE_TPU_RICH_ANCHORS", "1") != "0")
+    rich_probs = os.environ.get("TE_TPU_RICH_PROBS", "0") == "1"
+    rich_mlp = os.environ.get("TE_TPU_RICH_MLP", "0") == "1"
 
     logits, res = bert_mod.forward_collect(
         params, input_ids, attention_mask, cfg, use_kernel=use_kernel,
         matmul_precision=matmul_precision, attn_precision=attn_precision,
-        mlp_precision=mlp_precision)
+        mlp_precision=mlp_precision, rich_anchors=rich_anchors,
+        rich_probs=rich_probs, rich_mlp=rich_mlp)
     if needs_grads or needs_relprop:
         onehot = _one_hot_index(logits, index, cfg.num_labels)
         # fused reverse scan (bert.reverse_pass): gradients + relprop share

@@ -114,15 +114,26 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     if pk.islands_exceed_base(matmul_precision, relprop_precision,
                               mlp_fwd, mlp_bwd):
         use_attn_kernel = False
-    # rich anchors (megakernel path only): the forward kernel additionally
-    # emits qkv_pre/proj_pre/dots/probs so the reverse kernel skips those
-    # recomputes — ~17% of its MXU passes for ~6 MB/block of HBM that the
-    # vmapped grid's DMA pipelining hides (PERF.md round 3). Escape hatch:
-    # TE_TPU_RICH_ANCHORS=0.
-    rich_anchors = (use_attn_kernel
-                    and matmul_precision in ("bfloat16", "tensorfloat32")
-                    and not vit_mod._NO_BLOCK_KERNEL
-                    and os.environ.get("TE_TPU_RICH_ANCHORS", "1") != "0")
+    # rich anchors (megakernel path, bf16/tf32): the forward kernel
+    # additionally emits qkv_pre/proj_pre/dots/probs so the reverse kernel
+    # skips those recomputes — ~17% of its MXU passes for ~6 MB/block of
+    # HBM that the vmapped grid's DMA pipelining hides (PERF.md round 3).
+    # Escape hatch: TE_TPU_RICH_ANCHORS=0.
+    mega_path = (matmul_precision in ("bfloat16", "tensorfloat32")
+                 and not vit_mod._NO_BLOCK_KERNEL)
+    rich_env = os.environ.get("TE_TPU_RICH_ANCHORS", "1") != "0"
+    # Exact-f32 path: the same trade at the XLA level (saved pre-bias
+    # qkv/proj/fc1/fc2 dot outputs consumed by the reverse kstep) is
+    # bitwise-neutral AND measured speed-neutral — the f32 anchors' 4-byte
+    # HBM reads cost what the skipped 6-pass dots cost; that mode is
+    # bandwidth/VPU-bound, not MXU-bound (PERF.md round 3c). Default OFF
+    # (it adds ~85 MB/sample of HBM pressure for nothing); opt in with
+    # TE_TPU_RICH_XLA=1 (kept because it is bitwise-free and the balance
+    # may differ on other chip generations).
+    rich_xla = os.environ.get("TE_TPU_RICH_XLA", "0") == "1"
+    rich_anchors = (use_attn_kernel and rich_env
+                    and (mega_path or rich_xla)
+                    and not vit_mod._NO_BLOCK_KERNEL)
     # MLP anchors on top (fc1_pre/fc2_pre, ~+3 MB/block): skips the two MLP
     # forward-recompute dots in the reverse megakernel. TE_TPU_RICH_MLP=0
     # keeps the attention-only anchor set.

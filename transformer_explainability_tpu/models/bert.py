@@ -191,6 +191,12 @@ class Residuals(NamedTuple):
     pooled: Array    # pooled output (D,) — classifier input
     probs: Array     # (L, h, S, S) attention probabilities
     ext_mask: Array  # (S,) additive mask
+    # rich forward anchors (kernel path only; PERF.md round 3c): dict with
+    # "attn" -> stacked (L, ...) slim (qkv_pres, ctxs, dense_nbs) or fat
+    # (qkv_pres, dots, probs, ctxs, dense_nbs) tuple, and optionally
+    # "mlp" -> (inter_pres, dense2_nbs), from
+    # bert_layer_fwd_core(save_attn=True[, save_probs][, save_mlp])
+    rich: Optional[dict] = None
 
 
 def embed(params: Params, input_ids: Array, token_type_ids: Array,
@@ -209,7 +215,10 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
                     matmul_precision: str = "float32",
                     attn_precision: Optional[str] = None,
                     mlp_precision: Optional[str] = None,
-                    head_mask: Optional[Array] = None
+                    head_mask: Optional[Array] = None,
+                    rich_anchors: bool = False,
+                    rich_probs: bool = False,
+                    rich_mlp: bool = False
                     ) -> Tuple[Array, Residuals]:
     """Per-example forward; input_ids (S,) int32, attention_mask (S,) {0,1}.
     Returns (logits, residuals).
@@ -243,19 +252,35 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
         # a lax.scan/while body XLA drops the pallas_call's vmem_limit_bytes
         # and reverts to the 16 MiB scoped-VMEM default, which the fused
         # kernels exceed ("Scoped allocation ... limit 16.00M" at S=512).
+        n_attn = (5 if rich_probs else 3) if rich_anchors else 0
+        n_mlp = 2 if (rich_anchors and rich_mlp) else 0
         x, xs_l, atts_l = x0, [], []
+        attn_l = [[] for _ in range(n_attn)]
+        mlp_l = [[] for _ in range(n_mlp)]
         for l in range(cfg.num_layers):
             lp_l = jax.tree.map(lambda a: a[l], params["layers"])
             ws_l = tuple(w[l] for w in w_prep)
-            out, att_ln = pk.bert_layer_fwd_core(
+            outs = pk.bert_layer_fwd_core(
                 x, ext_mask, lp_l, cfg.num_heads, cfg.head_dim,
                 cfg.layer_norm_eps, mxu=matmul_precision, attn_mxu=fwd_mxu,
-                mlp_mxu=mlp_mxu, ws=ws_l)
+                mlp_mxu=mlp_mxu, ws=ws_l, save_attn=rich_anchors,
+                save_probs=rich_anchors and rich_probs,
+                save_mlp=bool(n_mlp))
+            out, att_ln = outs[:2] if rich_anchors else outs
+            for i in range(n_attn):
+                attn_l[i].append(outs[2 + i])
+            for i in range(n_mlp):
+                mlp_l[i].append(outs[2 + n_attn + i])
             xs_l.append(x)
             atts_l.append(att_ln)
             x = out
         seq_out = x
         x_ins, att_lns = jnp.stack(xs_l), jnp.stack(atts_l)
+        rich = None
+        if rich_anchors:
+            rich = {"attn": tuple(jnp.stack(a) for a in attn_l)}
+            if n_mlp:
+                rich["mlp"] = tuple(jnp.stack(a) for a in mlp_l)
         probs = None
     else:
         @jax.checkpoint
@@ -272,13 +297,14 @@ def forward_collect(params: Params, input_ids: Array, attention_mask: Array,
             (cfg.num_layers, cfg.num_heads, S, S), x0.dtype)
         seq_out, (x_ins, att_lns, probs) = jax.lax.scan(
             step, x0, (params["layers"], tap_seq, head_mask))
+        rich = None
 
     first_tok = seq_out[0]
     pooled = jnp.tanh(first_tok @ params["pooler"]["kernel"]
                       + params["pooler"]["bias"])
     logits = pooled @ params["classifier"]["kernel"] + params["classifier"]["bias"]
     res = Residuals(x0, x_ins, att_lns, seq_out, first_tok, pooled, probs,
-                    ext_mask)
+                    ext_mask, rich)
     return logits, res
 
 
@@ -546,18 +572,27 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         # lose the kernels' scoped-VMEM compiler param
         g_out, Rc = g_final, R
         gc_l = [None] * cfg.num_layers
+        rich = res.rich or {}
+        rich_attn, rich_mlp_t = rich.get("attn"), rich.get("mlp")
         for l in reversed(range(cfg.num_layers)):
             lp_l = jax.tree.map(lambda a: a[l], params["layers"])
             ws_l = tuple(w[l] for w in w_prep)
+            # rich anchors (PERF.md round 3c): "attn" = slim
+            # (qkv_pre, ctx, dense_nb) or fat (+dots, probs) tuple,
+            # "mlp" = (inter_pre_nb, dense2_nb)
+            saved_mlp = (tuple(r[l] for r in rich_mlp_t)
+                         if rich_mlp_t is not None else None)
+            saved_attn = (tuple(r[l] for r in rich_attn)
+                          if rich_attn is not None else None)
             g_attln, R_att = pk.bert_out_rev_core(
                 res.att_lns[l], g_out, Rc, lp_l, cfg.layer_norm_eps,
                 mxu=mxu, rule_mxu=rule_mxu, mlp_mxu=mlp_mxu,
-                ws=ws_l[nsplit:])
+                ws=ws_l[nsplit:], saved=saved_mlp)
             g_out, Rc, gc_l[l] = pk.bert_attn_rev_core(
                 res.x_ins[l], g_attln, R_att, res.ext_mask, lp_l,
                 cfg.num_heads, cfg.head_dim, cfg.layer_norm_eps,
                 mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
-                ws=ws_l[:nsplit])
+                ws=ws_l[:nsplit], saved=saved_attn)
         return Rc, jnp.stack(gc_l), None
 
     def step(carry, xs):

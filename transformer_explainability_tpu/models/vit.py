@@ -376,23 +376,42 @@ def forward_collect(params: Params, img: Array, cfg: ViTConfig,
         else:
             def step_lite(x, bp):
                 xn1 = _layernorm(x, bp["norm1"], cfg.block_ln_eps)
-                qkv = xn1 @ bp["qkv"]["kernel"]
+                qkv_pre = xn1 @ bp["qkv"]["kernel"]
+                qkv = qkv_pre
                 if "bias" in bp["qkv"]:
                     qkv = qkv + bp["qkv"]["bias"]
                 out_merged = pk.attn_fwd_core(
                     qkv, cfg.num_heads, cfg.head_dim, cfg.head_dim ** -0.5,
                     mxu=fwd_mxu)
-                attn_out = (out_merged @ bp["proj"]["kernel"]
-                            + bp["proj"]["bias"])
+                proj_pre = out_merged @ bp["proj"]["kernel"]
+                attn_out = proj_pre + bp["proj"]["bias"]
                 x_mid = x + attn_out
                 xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
-                h1 = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
-                mlp_out = (jax.nn.gelu(h1, approximate=False)
-                           @ bp["fc2"]["kernel"] + bp["fc2"]["bias"])
-                return x_mid + mlp_out, (x, x_mid, out_merged)
+                fc1_pre = xn2 @ bp["fc1"]["kernel"]
+                h1 = fc1_pre + bp["fc1"]["bias"]
+                fc2_pre = (jax.nn.gelu(h1, approximate=False)
+                           @ bp["fc2"]["kernel"])
+                mlp_out = fc2_pre + bp["fc2"]["bias"]
+                ys = (x, x_mid, out_merged)
+                if rich_anchors:
+                    # XLA-path rich anchors (exact-f32 mode, opt-in via
+                    # TE_TPU_RICH_XLA): save the four pre-bias dot outputs
+                    # the XLA reverse step (kstep) would otherwise
+                    # recompute. Bitwise-identical by construction (the
+                    # reverse recompute runs the same dots on the same
+                    # operands) but measured speed-NEUTRAL: the f32 mode is
+                    # bandwidth/VPU-bound, and the anchors' 4-byte HBM
+                    # reads cost what the skipped 6-pass dots cost
+                    # (PERF.md round 3c).
+                    ys = ys + (qkv_pre, proj_pre, fc1_pre, fc2_pre)
+                return x_mid + mlp_out, ys
 
-            x_final, (x_ins, x_mids, outs) = jax.lax.scan(
+            x_final, scanned = jax.lax.scan(
                 step_lite, x0, params["blocks"], unroll=unroll)
+            x_ins, x_mids, outs = scanned[:3]
+            if rich_anchors:
+                rich = dict(zip(["qkv_pres", "proj_pres",
+                                 "fc1_pres", "fc2_pres"], scanned[3:]))
         attns = None
     else:
         @jax.checkpoint
@@ -745,18 +764,29 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                 kstep_block, (g_final, R), xs, reverse=True, unroll=unroll)
             return R_tokens, gc_maps, None
 
+        # XLA-path rich anchors (the exact-f32 mode's analog of the
+        # megakernel anchors): forward_collect saved the four pre-bias dot
+        # outputs; consume them instead of recomputing (each is a 6-pass
+        # f32-HIGHEST dot — ~19% of the reverse side's MXU passes).
+        lite_saved = [res.qkv_pres, res.proj_pres]
+        if not use_mlp_kernel and res.fc1_pres is not None:
+            lite_saved += [res.fc1_pres, res.fc2_pres]
+        n_lite = 0 if res.qkv_pres is None else len(lite_saved)
+
         def kstep(carry, xs):
             g_out, Rc = carry
-            x_in, x_mid, out_merged, bp = xs
+            x_in, x_mid, out_merged, bp = xs[:4]
+            saved = xs[4:] if n_lite else ()
             # lite recompute — no attention einsums in XLA (out_merged is
             # the third forward anchor; the attention internals are
             # recomputed inside attn_rev_core)
             xn1 = _layernorm(x_in, bp["norm1"], cfg.block_ln_eps)
-            qkv = xn1 @ bp["qkv"]["kernel"]
-            qkv_pre = qkv
+            qkv_pre = saved[0] if n_lite else xn1 @ bp["qkv"]["kernel"]
+            qkv = qkv_pre
             if "bias" in bp["qkv"]:
                 qkv = qkv + bp["qkv"]["bias"]
-            proj_pre = out_merged @ bp["proj"]["kernel"]
+            proj_pre = (saved[1] if n_lite
+                        else out_merged @ bp["proj"]["kernel"])
             attn_out = proj_pre + bp["proj"]["bias"]
 
             def with_rule_precision(f, *a):
@@ -774,10 +804,12 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                     variant=variant, alpha=alpha)
             else:
                 xn2 = _layernorm(x_mid, bp["norm2"], cfg.block_ln_eps)
-                fc1_pre = xn2 @ bp["fc1"]["kernel"]
+                fc1_pre = (saved[2] if n_lite == 4
+                           else xn2 @ bp["fc1"]["kernel"])
                 h1 = fc1_pre + bp["fc1"]["bias"]
                 hg = jax.nn.gelu(h1, approximate=False)
-                fc2_pre = hg @ bp["fc2"]["kernel"]
+                fc2_pre = (saved[3] if n_lite == 4
+                           else hg @ bp["fc2"]["kernel"])
                 mlp_out = fc2_pre + bp["fc2"]["bias"]
                 # backward, MLP side (block_backward's first half)
                 g_hg = g_out @ bp["fc2"]["kernel"].T
@@ -826,10 +858,11 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
 
         assert res.outs is not None, \
             "kernel reverse path needs forward_collect(use_attn_kernel=True)"
+        xs = (res.x_ins, res.x_mids, res.outs, params["blocks"])
+        if n_lite:
+            xs = xs + tuple(lite_saved)
         (g0, R_tokens), (gc_maps,) = jax.lax.scan(
-            kstep, (g_final, R),
-            (res.x_ins, res.x_mids, res.outs, params["blocks"]),
-            reverse=True, unroll=unroll)
+            kstep, (g_final, R), xs, reverse=True, unroll=unroll)
         return R_tokens, gc_maps, None
 
     def step(carry, xs):

@@ -1314,19 +1314,28 @@ def _ln_bwd_math(g_y, x, s, eps):
 
 
 def _bert_out_rev_math(att_ln, g_out, R, lns, lnb, b_i, b_o, wi, wo, *,
-                       eps, mxu, rule_mxu, mlp_mxu=None):
+                       eps, mxu, rule_mxu, mlp_mxu=None, saved_mlp=None):
     """Output sub-block reverse: LN(dense2 + att_ln) backward + the add
     split, both Linear rules and the clone merge. Returns (g_attln, R_att).
 
     ``mlp_mxu``: optional override for the four inter/out dense fwd/bwd
     dots (None = ``mxu``) — the BERT analog of the ViT MLP-precision
-    island (see :func:`_mlp_rev_math` / PERF.md round 2c)."""
+    island (see :func:`_mlp_rev_math` / PERF.md round 2c).
+
+    ``saved_mlp``: optional (inter_pre_nb, dense2_nb) rich forward anchors
+    — skips the two dense forward-recompute dots (bit-identical: the
+    forward kernel computed them with the same dots on the same operands,
+    and the bias adds below repeat on equal values)."""
     mmx = mlp_mxu or mxu
     del lnb  # LN bias does not enter the backward/rules
-    inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mmx)
+    if saved_mlp is not None:
+        inter_pre_nb, dense2_nb = saved_mlp
+    else:
+        inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mmx)
     inter_pre = inter_pre_nb + b_i
     inter_g = _gelu_exact(inter_pre)
-    dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mmx)
+    if saved_mlp is None:
+        dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mmx)
     dense2 = dense2_nb + b_o
 
     g_sum2 = _ln_bwd_math(g_out, dense2 + att_ln, lns, eps)
@@ -1341,22 +1350,34 @@ def _bert_out_rev_math(att_ln, g_out, R, lns, lnb, b_i, b_o, wi, wo, *,
     return g_attln, R_att
 
 
-def _attn_head_fwd(q, k, v, mask_row, inv_s, attn_mxu):
+def _attn_head_fwd(q, k, v, mask_row, inv_s, attn_mxu, save=False):
     raw = _kdot(q, k, ((1,), (1,)), attn_mxu)
     probs = jax.nn.softmax(raw * inv_s + mask_row, axis=-1)
-    return _kdot(probs, v, ((1,), (0,)), attn_mxu)
+    out = _kdot(probs, v, ((1,), (0,)), attn_mxu)
+    if save:
+        return out, raw, probs
+    return out
 
 
 def _attn_head_rev(q, k, v, ctx_i, g_o, R1_i, mask_row, inv_s,
-                   attn_mxu, rule_mxu):
+                   attn_mxu, rule_mxu, saved_rp=None):
     """One head's backward + z-rules (probs recomputed — bitwise, same dots
     on the same operands as pass 1). Returns the six (S, d) per-head outputs
-    plus the gc contribution and the three mask-Add renorm partial sums."""
+    plus the gc contribution and the three mask-Add renorm partial sums.
+
+    ``saved_rp``: optional (raw, probs) forward anchors for this head —
+    skips the QK^T recompute (multi-pass in the f32 attention island) and
+    the softmax; bit-identical by construction (the forward kernel computed
+    them with the same dots on the same operands)."""
     dt = q.dtype
     half = jnp.asarray(0.5, dt)
-    raw = _kdot(q, k, ((1,), (1,)), attn_mxu)
-    scaled = raw * inv_s
-    probs = jax.nn.softmax(scaled + mask_row, axis=-1)
+    if saved_rp is not None:
+        raw, probs = saved_rp
+        scaled = raw * inv_s
+    else:
+        raw = _kdot(q, k, ((1,), (1,)), attn_mxu)
+        scaled = raw * inv_s
+        probs = jax.nn.softmax(scaled + mask_row, axis=-1)
     g_probs = _kdot(g_o, v, ((1,), (1,)), attn_mxu)
     gv_i = _kdot(probs, g_o, ((0,), (0,)), attn_mxu)
     inner = (g_probs * probs).sum(axis=-1, keepdims=True)
@@ -1400,13 +1421,17 @@ def _linear_rule_cols(x, ax, w_sl, aw_sl, R_sl, y_pre_sl, axw_sl, rule_mxu):
 def _head_rev_accum(x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb,
                     axw_q, axw_k, axw_v, ctx_b, g_ctx_b, R1f_b,
                     wq, wk, wv, awq, awk, awv, mask_row, inv_s, head_dim, *,
-                    mxu, attn_mxu, rule_mxu):
+                    mxu, attn_mxu, rule_mxu, dots_b=None, probs_b=None):
     """Static-unrolled reverse over the heads present in one column block,
     folding each head's six (S, d) outputs into (S, D_in) accumulators via
     sliced-weight dots. All block args (qb..R1f_b, weights) are column
     slices covering the same heads; ``x_in``/``ax`` are full width. Returns
     (g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum) — the mask-Add λ is
-    applied by the caller (the rules are linear in R)."""
+    applied by the caller (the rules are linear in R).
+
+    ``dots_b``/``probs_b``: optional row-stacked ((hb*S, S)) forward
+    anchors covering the same heads — each head's QK^T/softmax recompute
+    is skipped (see :func:`_attn_head_rev`)."""
     dt = x_in.dtype
     S, D_in = x_in.shape
     d = head_dim
@@ -1419,10 +1444,13 @@ def _head_rev_accum(x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb,
     a_sum = b_sum = r_sum = zero
     for j in range(hb):
         sl = slice(j * d, (j + 1) * d)
+        saved_rp = (None if dots_b is None else
+                    (dots_b[j * S:(j + 1) * S, :],
+                     probs_b[j * S:(j + 1) * S, :]))
         (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
             _attn_head_rev(qb[:, sl], kb[:, sl], vb[:, sl], ctx_b[:, sl],
                            g_ctx_b[:, sl], R1f_b[:, sl], mask_row, inv_s,
-                           attn_mxu, rule_mxu)
+                           attn_mxu, rule_mxu, saved_rp=saved_rp)
         g_att = (g_att + _kdot(gq_i, _wsl(wq, sl), ((1,), (1,)), mxu)
                  + _kdot(gk_i, _wsl(wk, sl), ((1,), (1,)), mxu)
                  + _kdot(gv_i, _wsl(wv, sl), ((1,), (1,)), mxu))
@@ -1460,24 +1488,35 @@ def _attn_rev_combine(x_in, g_sum1, g_att, Racc_qk, Racc_v, R2, gc,
 
 def _bert_attn_mid_math(x_in, g_attln, R_att, mask_row, lns,
                         bq, bk, bv, bo, wq, wk, wv, wao, *,
-                        num_heads, head_dim, eps, mxu, attn_mxu, rule_mxu):
+                        num_heads, head_dim, eps, mxu, attn_mxu, rule_mxu,
+                        saved=None):
     """Stage 1 of the chunked attention reverse: forward-recompute the
     attention output (static head loop, forward only — ~3 (S, S) temps per
     head, so it fits scoped VMEM at any BERT length), then the dense
     backward, LN backward, residual-Add rule and the dense Linear rule.
     Returns (ctx, g_sum1, g_ctx, R1f, R2) — everything the per-head-chunk
-    stage needs besides x_in."""
+    stage needs besides x_in.
+
+    ``saved``: optional (ctx, dense_nb) rich forward anchors — the whole
+    qkv + per-head forward recompute and the dense dot are skipped (the
+    per-head-chunk stage re-derives its own q/k/v slices, or consumes its
+    own saved anchors)."""
     dt = x_in.dtype
     h, d = num_heads, head_dim
     inv_s = jnp.asarray(head_dim ** -0.5, dt)
-    qb = _kdot(x_in, wq, ((1,), (0,)), mxu) + bq
-    kb = _kdot(x_in, wk, ((1,), (0,)), mxu) + bk
-    vb = _kdot(x_in, wv, ((1,), (0,)), mxu) + bv
-    ctx = jnp.concatenate([
-        _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
-                       vb[:, i * d:(i + 1) * d], mask_row, inv_s, attn_mxu)
-        for i in range(h)], axis=1)
-    dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
+    if saved is not None:
+        ctx, dense_nb = saved
+    else:
+        qb = _kdot(x_in, wq, ((1,), (0,)), mxu) + bq
+        kb = _kdot(x_in, wk, ((1,), (0,)), mxu) + bk
+        vb = _kdot(x_in, wv, ((1,), (0,)), mxu) + bv
+        ctx = jnp.concatenate([
+            _attn_head_fwd(qb[:, i * d:(i + 1) * d],
+                           kb[:, i * d:(i + 1) * d],
+                           vb[:, i * d:(i + 1) * d], mask_row, inv_s,
+                           attn_mxu)
+            for i in range(h)], axis=1)
+        dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
     dense_out = dense_nb + bo
     g_sum1 = _ln_bwd_math(g_attln, dense_out + x_in, lns, eps)
     g_ctx = _kdot(g_sum1, wao, ((1,), (1,)), mxu)
@@ -1488,17 +1527,30 @@ def _bert_attn_mid_math(x_in, g_attln, R_att, mask_row, lns,
 
 def _bert_attn_chunk_math(x_in, ctx_b, g_ctx_b, R1f_b, mask_row,
                           bq_b, bk_b, bv_b, wq_b, wk_b, wv_b, *,
-                          head_dim, mxu, attn_mxu, rule_mxu):
+                          head_dim, mxu, attn_mxu, rule_mxu, saved=None):
     """Stage 2 of the chunked attention reverse: one chunk of heads'
     backward + z-rules. Block args are this chunk's column slices; the
     chunk's q/k/v projections and |x|@|w| denominators are recomputed
     in-chunk from full-width ``x_in`` and the sliced weights (columns of a
-    matmul are independent, so this is the same math at chunk cost)."""
+    matmul are independent, so this is the same math at chunk cost).
+
+    ``saved``: optional rich forward anchors for this chunk's heads —
+    slim 3-tuple (q_nb_b, k_nb_b, v_nb_b) skips the three projection
+    recomputes; fat 5-tuple (..., dots_b, probs_b) skips (per head) the
+    QK^T/softmax too. The |x|@|w| rule denominators are NOT saved (the
+    forward never computes them) and are still recomputed here."""
     dt = x_in.dtype
     inv_s = jnp.asarray(head_dim ** -0.5, dt)
-    q_nb = _kdot(x_in, wq_b, ((1,), (0,)), mxu)
-    k_nb = _kdot(x_in, wk_b, ((1,), (0,)), mxu)
-    v_nb = _kdot(x_in, wv_b, ((1,), (0,)), mxu)
+    dots_b = probs_b = None
+    if saved is not None:
+        if len(saved) == 5:
+            q_nb, k_nb, v_nb, dots_b, probs_b = saved
+        else:
+            q_nb, k_nb, v_nb = saved
+    else:
+        q_nb = _kdot(x_in, wq_b, ((1,), (0,)), mxu)
+        k_nb = _kdot(x_in, wk_b, ((1,), (0,)), mxu)
+        v_nb = _kdot(x_in, wv_b, ((1,), (0,)), mxu)
     qb, kb, vb = q_nb + bq_b, k_nb + bk_b, v_nb + bv_b
     ax = jnp.abs(x_in)
     awq, awk, awv = _kabs(wq_b), _kabs(wk_b), _kabs(wv_b)
@@ -1509,14 +1561,14 @@ def _bert_attn_chunk_math(x_in, ctx_b, g_ctx_b, R1f_b, mask_row,
         x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb, axw_q, axw_k, axw_v,
         ctx_b, g_ctx_b, R1f_b, wq_b, wk_b, wv_b, awq, awk, awv,
         mask_row, inv_s, head_dim, mxu=mxu, attn_mxu=attn_mxu,
-        rule_mxu=rule_mxu)
+        rule_mxu=rule_mxu, dots_b=dots_b, probs_b=probs_b)
 
 
 def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
                         lns, lnb, bq, bk, bv, bo,
                         wq, wk, wv, wao, *,
                         num_heads, head_dim, eps, mxu, attn_mxu, rule_mxu,
-                        unroll=False):
+                        unroll=False, saved=None):
     """Attention sub-block reverse; returns (g_in, R_in, gc (S, S)).
 
     ``unroll=True`` (the Mosaic kernel path) runs the head loop as a static
@@ -1530,16 +1582,34 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
     incoming relevance, so λ is deferred to a post-loop scalar.
 
     ``unroll=False`` (the XLA path) uses a ``fori_loop`` over a leading
-    head axis with value carries."""
+    head axis with value carries.
+
+    ``saved``: optional rich forward anchors — the slim 3-tuple
+    (qkv_pre (S, 3D), ctx (S, D), dense_nb (S, D)) skips the q/k/v
+    projection, AV and dense recomputes; the fat 5-tuple inserts
+    (dots (h*S, S), probs (h*S, S)) after qkv_pre and skips the per-head
+    QK^T/softmax too (measured a wash — their HBM costs what the skipped
+    passes cost; PERF.md round 3c)."""
     del lnb
     dt = x_in.dtype
     S = x_in.shape[0]
     h, d = num_heads, head_dim
+    D = h * d
     inv_s = jnp.asarray(head_dim ** -0.5, dt)
 
-    q_nb = _kdot(x_in, wq, ((1,), (0,)), mxu)
-    k_nb = _kdot(x_in, wk, ((1,), (0,)), mxu)
-    v_nb = _kdot(x_in, wv, ((1,), (0,)), mxu)
+    dots_s = probs_s = None
+    if saved is not None:
+        if len(saved) == 5:
+            qkv_pre, dots_s, probs_s, ctx, dense_nb = saved
+        else:
+            qkv_pre, ctx, dense_nb = saved
+        q_nb = qkv_pre[:, :D]
+        k_nb = qkv_pre[:, D:2 * D]
+        v_nb = qkv_pre[:, 2 * D:]
+    else:
+        q_nb = _kdot(x_in, wq, ((1,), (0,)), mxu)
+        k_nb = _kdot(x_in, wk, ((1,), (0,)), mxu)
+        v_nb = _kdot(x_in, wv, ((1,), (0,)), mxu)
     qb, kb, vb = q_nb + bq, k_nb + bk, v_nb + bv
 
     def to_heads(x):                         # (S, D) -> (h, S, d)
@@ -1548,7 +1618,11 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
     def from_heads(x):                       # (h, S, d) -> (S, D)
         return x.transpose(1, 0, 2).reshape(S, h * d)
 
-    if unroll:
+    if saved is not None:
+        if not unroll:
+            qh, kh, vh = to_heads(qb), to_heads(kb), to_heads(vb)
+            ctx_h = to_heads(ctx)
+    elif unroll:
         ctx_parts = [
             _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
                            vb[:, i * d:(i + 1) * d], mask_row, inv_s,
@@ -1566,7 +1640,8 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
         ctx_h = jax.lax.fori_loop(0, h, fwd_body, jnp.zeros((h, S, d), dt))
         ctx = from_heads(ctx_h)
 
-    dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
+    if saved is None:
+        dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
     dense_out = dense_nb + bo
     g_sum1 = _ln_bwd_math(g_attln, dense_out + x_in, lns, eps)
     g_ctx = _kdot(g_sum1, wao, ((1,), (1,)), mxu)
@@ -1586,16 +1661,23 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
         (g_att, Racc_qk, Racc_v, gc, a_sum, b_sum, r_sum) = _head_rev_accum(
             x_in, ax, qb, kb, vb, q_nb, k_nb, v_nb, axw_q, axw_k, axw_v,
             ctx, g_ctx, R1f, wq, wk, wv, awq, awk, awv, mask_row, inv_s, d,
-            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+            mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
+            dots_b=dots_s, probs_b=probs_s)
     else:
         g_ctx_h, R1_h = to_heads(g_ctx), to_heads(R1f)
         zeros_hsd = jnp.zeros((h, S, d), dt)
+        if dots_s is not None:
+            dots_h = dots_s.reshape(h, S, S)
+            probs_h = probs_s.reshape(h, S, S)
 
         def rev_body(i, carry):
             (gq, gk, gv, cqu, cku, cv, gc, a_sum, b_sum, r_sum) = carry
+            saved_rp = (None if dots_s is None
+                        else (dots_h[i], probs_h[i]))
             (gq_i, gk_i, gv_i, cqu_i, cku_i, cv_i, gc_c, a_c, b_c, r_c) = \
                 _attn_head_rev(qh[i], kh[i], vh[i], ctx_h[i], g_ctx_h[i],
-                               R1_h[i], mask_row, inv_s, attn_mxu, rule_mxu)
+                               R1_h[i], mask_row, inv_s, attn_mxu, rule_mxu,
+                               saved_rp=saved_rp)
             return (gq.at[i].set(gq_i), gk.at[i].set(gk_i),
                     gv.at[i].set(gv_i), cqu.at[i].set(cqu_i),
                     cku.at[i].set(cku_i), cv.at[i].set(cv_i),
@@ -1634,44 +1716,94 @@ def _bert_attn_rev_math(x_in, g_attln, R_att, mask_row,
 def _bert_fwd_math(x_in, mask_row, ln1s, ln1b, ln2s, ln2b,
                    bq, bk, bv, bo, b_i, b_o2, wq, wk, wv, wao, wi, wo, *,
                    num_heads, head_dim, eps, mxu, attn_mxu, mlp_mxu=None,
-                   unroll=False):
+                   unroll=False, save_attn=False, save_probs=False,
+                   save_mlp=False):
     """One BERT encoder layer forward; returns (out, att_ln).
 
     ``unroll=True`` (the Mosaic kernel path): static Python head loop over
     2-D column slices — see :func:`_bert_attn_rev_math` for why dynamic
-    indexing is off the table in the TC lowering."""
+    indexing is off the table in the TC lowering.
+
+    ``save_attn=True``: additionally return the rich anchors
+    (qkv_pre (S, 3D), ctx (S, D), dense_nb (S, D)) for the reverse cores'
+    ``saved`` arguments — the BERT analog of the ViT rich-anchor path
+    (PERF.md round 3c). ``save_probs=True`` (requires ``save_attn``)
+    inserts the fat per-head anchors (dots (h*S, S), probs (h*S, S)) after
+    qkv_pre so the reverse also skips the QK^T/softmax recomputes —
+    measured a wash at S=512 (their HBM traffic costs what the skipped
+    passes cost), so default off. ``save_mlp=True`` appends
+    (inter_pre_nb (S, I), dense2_nb (S, D))."""
     S = x_in.shape[0]
     h, d = num_heads, head_dim
-    qb = _kdot(x_in, wq, ((1,), (0,)), mxu) + bq
-    kb = _kdot(x_in, wk, ((1,), (0,)), mxu) + bk
-    vb = _kdot(x_in, wv, ((1,), (0,)), mxu) + bv
+    q_nb = _kdot(x_in, wq, ((1,), (0,)), mxu)
+    k_nb = _kdot(x_in, wk, ((1,), (0,)), mxu)
+    v_nb = _kdot(x_in, wv, ((1,), (0,)), mxu)
+    qb, kb, vb = q_nb + bq, k_nb + bk, v_nb + bv
     inv_s = jnp.asarray(head_dim ** -0.5, x_in.dtype)
 
+    dots_l, probs_l = [], []
     if unroll:
-        ctx = jnp.concatenate([
-            _attn_head_fwd(qb[:, i * d:(i + 1) * d], kb[:, i * d:(i + 1) * d],
-                           vb[:, i * d:(i + 1) * d], mask_row, inv_s,
-                           attn_mxu)
-            for i in range(h)], axis=1)
+        ctx_parts = []
+        for i in range(h):
+            o = _attn_head_fwd(qb[:, i * d:(i + 1) * d],
+                               kb[:, i * d:(i + 1) * d],
+                               vb[:, i * d:(i + 1) * d], mask_row, inv_s,
+                               attn_mxu, save=save_probs)
+            if save_probs:
+                o, raw_i, probs_i = o
+                dots_l.append(raw_i)
+                probs_l.append(probs_i)
+            ctx_parts.append(o)
+        ctx = jnp.concatenate(ctx_parts, axis=1)
     else:
         qh = qb.reshape(S, h, d).transpose(1, 0, 2)
         kh = kb.reshape(S, h, d).transpose(1, 0, 2)
         vh = vb.reshape(S, h, d).transpose(1, 0, 2)
+        dt = x_in.dtype
 
-        def fwd_body(i, ctx_h):
-            out = _attn_head_fwd(qh[i], kh[i], vh[i], mask_row, inv_s,
-                                 attn_mxu)
-            return ctx_h.at[i].set(out)
+        if save_probs:
+            def fwd_body(i, carry):
+                ctx_h, dots_h, probs_h = carry
+                out, raw_i, probs_i = _attn_head_fwd(
+                    qh[i], kh[i], vh[i], mask_row, inv_s, attn_mxu,
+                    save=True)
+                return (ctx_h.at[i].set(out), dots_h.at[i].set(raw_i),
+                        probs_h.at[i].set(probs_i))
 
-        ctx_h = jax.lax.fori_loop(0, h, fwd_body,
-                                  jnp.zeros((h, S, d), x_in.dtype))
+            ctx_h, dots_h, probs_h = jax.lax.fori_loop(
+                0, h, fwd_body, (jnp.zeros((h, S, d), dt),
+                                 jnp.zeros((h, S, S), dt),
+                                 jnp.zeros((h, S, S), dt)))
+            dots_l = [dots_h.reshape(h * S, S)]
+            probs_l = [probs_h.reshape(h * S, S)]
+        else:
+            def fwd_body(i, ctx_h):
+                out = _attn_head_fwd(qh[i], kh[i], vh[i], mask_row, inv_s,
+                                     attn_mxu)
+                return ctx_h.at[i].set(out)
+
+            ctx_h = jax.lax.fori_loop(0, h, fwd_body,
+                                      jnp.zeros((h, S, d), dt))
         ctx = ctx_h.transpose(1, 0, 2).reshape(S, h * d)
     mmx = mlp_mxu or mxu
-    dense_out = _kdot(ctx, wao, ((1,), (0,)), mxu) + bo
+    dense_nb = _kdot(ctx, wao, ((1,), (0,)), mxu)
+    dense_out = dense_nb + bo
     att_ln, _, _ = _ln_fwd(dense_out + x_in, ln1s, ln1b, eps)
-    inter_g = _gelu_exact(_kdot(att_ln, wi, ((1,), (0,)), mmx) + b_i)
-    dense2 = _kdot(inter_g, wo, ((1,), (0,)), mmx) + b_o2
+    inter_pre_nb = _kdot(att_ln, wi, ((1,), (0,)), mmx)
+    inter_g = _gelu_exact(inter_pre_nb + b_i)
+    dense2_nb = _kdot(inter_g, wo, ((1,), (0,)), mmx)
+    dense2 = dense2_nb + b_o2
     out, _, _ = _ln_fwd(dense2 + att_ln, ln2s, ln2b, eps)
+    if save_attn:
+        qkv_pre = jnp.concatenate([q_nb, k_nb, v_nb], axis=1)
+        outs = (out, att_ln, qkv_pre)
+        if save_probs:
+            outs = outs + (jnp.concatenate(dots_l, axis=0),
+                           jnp.concatenate(probs_l, axis=0))
+        outs = outs + (ctx, dense_nb)
+        return outs + (inter_pre_nb, dense2_nb) if save_mlp else outs
+    assert not save_mlp and not save_probs, \
+        "save_mlp/save_probs require save_attn"
     return out, att_ln
 
 
@@ -1686,10 +1818,15 @@ def prepare_bert_weights(layers: dict, mxu: str):
     return tuple(flat)
 
 
-def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, mlp_mxu, paired):
+def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, mlp_mxu, paired,
+                         n_saved=0):
     att_ln_ref, g_out_ref, R_ref, lns_ref, lnb_ref, bi_ref, bo_ref = refs[:7]
     g_ref, Ra_ref = refs[-2:]
     w = refs[7:-2]
+    saved_mlp = None
+    if n_saved:
+        saved_mlp = tuple(r[:] for r in w[-n_saved:])
+        w = w[:-n_saved]
     if paired:
         wi, wo = (w[0][:], w[1][:]), (w[2][:], w[3][:])
     else:
@@ -1697,7 +1834,7 @@ def _bert_out_rev_kernel(*refs, eps, mxu, rule_mxu, mlp_mxu, paired):
     g_attln, R_att = _bert_out_rev_math(
         att_ln_ref[:], g_out_ref[:], R_ref[:], lns_ref[:], lnb_ref[:],
         bi_ref[:], bo_ref[:], wi, wo, eps=eps, mxu=mxu, rule_mxu=rule_mxu,
-        mlp_mxu=mlp_mxu)
+        mlp_mxu=mlp_mxu, saved_mlp=saved_mlp)
     g_ref[:] = g_attln
     Ra_ref[:] = R_att
 
@@ -1706,10 +1843,15 @@ def bert_out_rev_core(att_ln, g_out, R, lp, eps: float,
                       mxu: str = "bfloat16", rule_mxu: str = "bfloat16",
                       mlp_mxu: Optional[str] = None,
                       use_pallas: Optional[bool] = None,
-                      interpret: bool = False, ws: Optional[tuple] = None):
+                      interpret: bool = False, ws: Optional[tuple] = None,
+                      saved: Optional[tuple] = None):
     """Fused output sub-block reverse; ``lp`` is the layer params dict.
     ``ws``: this layer's (inter, out) slice of :func:`prepare_bert_weights`
-    entries 4:..."""
+    entries 4:...
+
+    ``saved``: optional (inter_pre_nb, dense2_nb) rich forward anchors from
+    ``bert_layer_fwd_core(save_mlp=True)`` — skips the two dense
+    forward-recompute dots (see :func:`_bert_out_rev_math`)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     S, D = att_ln.shape
@@ -1724,33 +1866,42 @@ def bert_out_rev_core(att_ln, g_out, R, lp, eps: float,
             lp["out_ln"]["bias"][None].astype(dt),
             lp["inter"]["bias"][None].astype(dt),
             lp["out"]["bias"][None].astype(dt))
+    if saved is not None:
+        saved = tuple(s.astype(dt) for s in saved)
     if not use_pallas and not interpret:
         if paired:
             wi, wo = (w_flat[0], w_flat[1]), (w_flat[2], w_flat[3])
         else:
             wi, wo = w_flat
         return _bert_out_rev_math(*args, wi, wo, eps=eps, mxu=mxu,
-                                  rule_mxu=rule_mxu, mlp_mxu=mlp_mxu)
+                                  rule_mxu=rule_mxu, mlp_mxu=mlp_mxu,
+                                  saved_mlp=saved)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    extra = list(saved) if saved is not None else []
     return pl.pallas_call(
         functools.partial(_bert_out_rev_kernel, eps=eps, mxu=mxu,
-                          rule_mxu=rule_mxu, mlp_mxu=mlp_mxu, paired=paired),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (7 + len(w_flat)),
+                          rule_mxu=rule_mxu, mlp_mxu=mlp_mxu, paired=paired,
+                          n_saved=len(extra)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+            7 + len(w_flat) + len(extra)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 2,
         compiler_params=_vmem_params(interpret),
         interpret=interpret,
-    )(*args, *w_flat)
+    )(*args, *w_flat, *extra)
 
 
 def _bert_attn_rev_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
-                          rule_mxu, paired):
+                          rule_mxu, paired, n_saved=0):
     (x_in_ref, g_ref, R_ref, mask_ref, lns_ref, lnb_ref,
      bq_ref, bk_ref, bv_ref, bo_ref) = refs[:10]
     nw = 8 if paired else 4
     w = refs[10:10 + nw]
-    g_in_ref, R_in_ref, gc_ref = refs[10 + nw:13 + nw]
+    saved = None
+    if n_saved:
+        saved = tuple(r[:] for r in refs[10 + nw:10 + nw + n_saved])
+    g_in_ref, R_in_ref, gc_ref = refs[10 + nw + n_saved:13 + nw + n_saved]
     if paired:
         wq, wk, wv, wao = ((w[i][:], w[i + 1][:]) for i in range(0, 8, 2))
     else:
@@ -1759,20 +1910,29 @@ def _bert_attn_rev_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
         x_in_ref[:], g_ref[:], R_ref[:], mask_ref[:],
         lns_ref[:], lnb_ref[:], bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:],
         wq, wk, wv, wao, num_heads=num_heads, head_dim=head_dim, eps=eps,
-        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, unroll=True)
+        mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu, unroll=True,
+        saved=saved)
     g_in_ref[:] = g_in
     R_in_ref[:] = R_in
     gc_ref[:] = gc
 
 
 def _bert_attn_mid_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
-                          rule_mxu, paired):
+                          rule_mxu, paired, n_saved=0):
     (x_in_ref, g_ref, R_ref, mask_ref, lns_ref,
      bq_ref, bk_ref, bv_ref, bo_ref) = refs[:9]
-    nw = 8 if paired else 4
+    # with saved (ctx, dense_nb) anchors the q/k/v weights are not passed
+    # at all (only attn_out's) — the forward recompute they fed is skipped
+    nw = (8 if paired else 4) if not n_saved else (2 if paired else 1)
     w = refs[9:9 + nw]
-    out_refs = refs[9 + nw:14 + nw]
-    if paired:
+    saved = None
+    if n_saved:
+        saved = tuple(r[:] for r in refs[9 + nw:9 + nw + n_saved])
+    out_refs = refs[9 + nw + n_saved:14 + nw + n_saved]
+    if n_saved:
+        wq = wk = wv = None
+        wao = (w[0][:], w[1][:]) if paired else w[0][:]
+    elif paired:
         wq, wk, wv, wao = ((w[i][:], w[i + 1][:]) for i in range(0, 8, 2))
     else:
         wq, wk, wv, wao = (w[i][:] for i in range(4))
@@ -1780,18 +1940,22 @@ def _bert_attn_mid_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
         x_in_ref[:], g_ref[:], R_ref[:], mask_ref[:], lns_ref[:],
         bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:], wq, wk, wv, wao,
         num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
-        attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+        attn_mxu=attn_mxu, rule_mxu=rule_mxu, saved=saved)
     for r, o in zip(out_refs, outs):
         r[:] = o
 
 
 def _bert_attn_chunk_kernel(*refs, head_dim, mxu, attn_mxu, rule_mxu,
-                            paired):
+                            paired, n_saved=0):
     (x_in_ref, ctx_ref, gctx_ref, r1f_ref, mask_ref,
      bq_ref, bk_ref, bv_ref) = refs[:8]
     nw = 6 if paired else 3
     w = refs[8:8 + nw]
-    ga_ref, rqk_ref, rv_ref, gc_ref, sums_ref = refs[8 + nw:13 + nw]
+    saved = None
+    if n_saved:
+        saved = tuple(r[:] for r in refs[8 + nw:8 + nw + n_saved])
+    ga_ref, rqk_ref, rv_ref, gc_ref, sums_ref = \
+        refs[8 + nw + n_saved:13 + nw + n_saved]
     if paired:
         wq, wk, wv = ((w[i][:], w[i + 1][:]) for i in range(0, 6, 2))
     else:
@@ -1800,7 +1964,8 @@ def _bert_attn_chunk_kernel(*refs, head_dim, mxu, attn_mxu, rule_mxu,
         _bert_attn_chunk_math(
             x_in_ref[:], ctx_ref[:], gctx_ref[:], r1f_ref[:], mask_ref[:],
             bq_ref[:], bk_ref[:], bv_ref[:], wq, wk, wv,
-            head_dim=head_dim, mxu=mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+            head_dim=head_dim, mxu=mxu, attn_mxu=attn_mxu,
+            rule_mxu=rule_mxu, saved=saved)
     ga_ref[:] = g_att
     rqk_ref[:] = Racc_qk
     rv_ref[:] = Racc_v
@@ -1832,7 +1997,8 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
                        rule_mxu: str = "bfloat16",
                        use_pallas: Optional[bool] = None,
                        interpret: bool = False, ws: Optional[tuple] = None,
-                       head_chunk: Optional[int] = None):
+                       head_chunk: Optional[int] = None,
+                       saved: Optional[tuple] = None):
     """Fused attention sub-block reverse; returns (g_in, R_in, gc).
     ``ext_mask``: (S,) additive mask. ``ws``: this layer's (q, k, v,
     attn_out) slice of :func:`prepare_bert_weights`.
@@ -1840,7 +2006,15 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
     ``head_chunk``: heads per chunk kernel. ``None`` = auto: one fused
     kernel up to S=384, the chunked mid + per-chunk path beyond (the fused
     kernel's 12 unrolled heads spill past the 128 MiB chip VMEM at S=512);
-    0 forces the single kernel."""
+    0 forces the single kernel.
+
+    ``saved``: optional rich forward anchors from
+    ``bert_layer_fwd_core(save_attn=True)`` — the slim 3-tuple
+    (qkv_pre, ctx, dense_nb) skips the q/k/v projection, AV and dense
+    forward recomputes; the fat 5-tuple (qkv_pre, dots, probs, ctx,
+    dense_nb; ``save_probs=True``) skips the per-head QK^T/softmax too.
+    On the chunked path the mid kernel consumes (ctx, dense_nb) and each
+    chunk kernel its heads' slices."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     S, D = x_in.shape
@@ -1863,9 +2037,11 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
             lp["attn_out"]["bias"][None].astype(dt))
     kw = dict(num_heads=num_heads, head_dim=head_dim, eps=eps, mxu=mxu,
               attn_mxu=attn_mxu, rule_mxu=rule_mxu)
+    if saved is not None:
+        saved = tuple(s.astype(dt) for s in saved)
     if not use_pallas and not interpret:
         wp = _pair_weights(w_flat, paired)
-        return _bert_attn_rev_math(*args, *wp, **kw)
+        return _bert_attn_rev_math(*args, *wp, **kw, saved=saved)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     if head_chunk is None and S >= _ATTN_CHUNK_MIN_SEQ:
@@ -1877,31 +2053,47 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
         if not all_bf16:
             head_chunk = _ATTN_CHUNK_HEADS
     if not head_chunk:
+        extra = list(saved) if saved is not None else []
         return pl.pallas_call(
-            functools.partial(_bert_attn_rev_kernel, paired=paired, **kw),
+            functools.partial(_bert_attn_rev_kernel, paired=paired, **kw,
+                              n_saved=len(extra)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
-                10 + len(w_flat)),
+                10 + len(w_flat) + len(extra)),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_shape=[jax.ShapeDtypeStruct((S, D), dt),
                        jax.ShapeDtypeStruct((S, D), dt),
                        jax.ShapeDtypeStruct((S, S), dt)],
             compiler_params=_vmem_params(interpret, mib=127),
             interpret=interpret,
-        )(*args, *w_flat)
+        )(*args, *w_flat, *extra)
 
     # chunked path: mid kernel -> ceil(h / head_chunk) chunk kernels whose
     # partial accumulators are summed in XLA -> combine in XLA
     mid_args = (args[0], args[1], args[2], args[3], args[4],  # x,g,R,mask,lns
                 bq, bk, bv, args[9])
+    if saved is not None:
+        dots_s = probs_s = None
+        if len(saved) == 5:
+            qkv_pre, dots_s, probs_s, ctx_s, dense_nb_s = saved
+        else:
+            qkv_pre, ctx_s, dense_nb_s = saved
+        # the mid kernel only needs attn_out's weight when anchored — the
+        # q/k/v weights fed the forward recompute it no longer performs
+        nao = 2 if paired else 1
+        mid_w = w_flat[-nao:]
+        mid_extra = [ctx_s, dense_nb_s]
+    else:
+        mid_w, mid_extra = w_flat, []
     ctx, g_sum1, g_ctx, R1f, R2 = pl.pallas_call(
-        functools.partial(_bert_attn_mid_kernel, paired=paired, **kw),
+        functools.partial(_bert_attn_mid_kernel, paired=paired, **kw,
+                          n_saved=len(mid_extra)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
-            9 + len(w_flat)),
+            9 + len(mid_w) + len(mid_extra)),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 5,
         compiler_params=_vmem_params(interpret),
         interpret=interpret,
-    )(*mid_args, *w_flat)
+    )(*mid_args, *mid_w, *mid_extra)
 
     d = head_dim
     g_att = Racc_qk = Racc_v = gc = sums = None
@@ -1913,11 +2105,20 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
         wcols = (_wslice_flat(w_flat, paired, 0, cols)
                  + _wslice_flat(w_flat, paired, 1, cols)
                  + _wslice_flat(w_flat, paired, 2, cols))
+        if saved is not None:
+            chunk_extra = [qkv_pre[:, cols],
+                           qkv_pre[:, D + h0 * d:D + h1 * d],
+                           qkv_pre[:, 2 * D + h0 * d:2 * D + h1 * d]]
+            if dots_s is not None:
+                rows = slice(h0 * S, h1 * S)
+                chunk_extra += [dots_s[rows], probs_s[rows]]
+        else:
+            chunk_extra = []
         outs = pl.pallas_call(
             functools.partial(_bert_attn_chunk_kernel, paired=paired,
-                              **ckw),
+                              **ckw, n_saved=len(chunk_extra)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
-                8 + len(wcols)),
+                8 + len(wcols) + len(chunk_extra)),
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
             out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 3
             + [jax.ShapeDtypeStruct((S, S), dt),
@@ -1925,7 +2126,7 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
             compiler_params=_vmem_params(interpret, mib=127),
             interpret=interpret,
         )(x_in, ctx[:, cols], g_ctx[:, cols], R1f[:, cols], mask2d,
-          bq[:, cols], bk[:, cols], bv[:, cols], *wcols)
+          bq[:, cols], bk[:, cols], bv[:, cols], *wcols, *chunk_extra)
         if g_att is None:
             g_att, Racc_qk, Racc_v, gc, sums = outs
         else:
@@ -1939,23 +2140,27 @@ def bert_attn_rev_core(x_in, g_attln, R_att, ext_mask, lp,
 
 
 def _bert_fwd_kernel(*refs, num_heads, head_dim, eps, mxu, attn_mxu,
-                     mlp_mxu, paired):
+                     mlp_mxu, paired, save_attn=False, save_probs=False,
+                     save_mlp=False):
     (x_ref, mask_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      bq_ref, bk_ref, bv_ref, bo_ref, bi_ref, bo2_ref) = refs[:12]
     nw = 12 if paired else 6
     w = refs[12:12 + nw]
-    out_ref, attln_ref = refs[12 + nw:14 + nw]
+    n_out = (2 + (3 if save_attn else 0) + (2 if save_probs else 0)
+             + (2 if save_mlp else 0))
+    out_refs = refs[12 + nw:12 + nw + n_out]
     if paired:
         ws = tuple((w[i][:], w[i + 1][:]) for i in range(0, 12, 2))
     else:
         ws = tuple(w[i][:] for i in range(6))
-    out, att_ln = _bert_fwd_math(
+    outs = _bert_fwd_math(
         x_ref[:], mask_ref[:], ln1s_ref[:], ln1b_ref[:], ln2s_ref[:],
         ln2b_ref[:], bq_ref[:], bk_ref[:], bv_ref[:], bo_ref[:],
         bi_ref[:], bo2_ref[:], *ws, num_heads=num_heads, head_dim=head_dim,
-        eps=eps, mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, unroll=True)
-    out_ref[:] = out
-    attln_ref[:] = att_ln
+        eps=eps, mxu=mxu, attn_mxu=attn_mxu, mlp_mxu=mlp_mxu, unroll=True,
+        save_attn=save_attn, save_probs=save_probs, save_mlp=save_mlp)
+    for r, o in zip(out_refs, outs):
+        r[:] = o
 
 
 def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
@@ -1963,12 +2168,21 @@ def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
                         attn_mxu: str = "bfloat16",
                         mlp_mxu: Optional[str] = None,
                         use_pallas: Optional[bool] = None,
-                        interpret: bool = False, ws: Optional[tuple] = None):
+                        interpret: bool = False, ws: Optional[tuple] = None,
+                        save_attn: bool = False, save_probs: bool = False,
+                        save_mlp: bool = False):
     """ONE kernel for a full BERT encoder layer forward; returns
-    (out, att_ln) — the reverse pass's two anchors."""
+    (out, att_ln) — the reverse pass's two anchors.
+
+    ``save_attn=True`` additionally returns the slim rich anchors
+    (qkv_pre, ctx, dense_nb); ``save_probs=True`` inserts the fat per-head
+    (dots, probs) pair; ``save_mlp=True`` appends (inter_pre_nb,
+    dense2_nb) — see :func:`_bert_fwd_math` and PERF.md round 3c."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     S, D = x_in.shape
+    h = num_heads
+    I = lp["inter"]["kernel"].shape[1]
     dt = jnp.float64 if x_in.dtype == jnp.float64 else jnp.float32
     if ws is not None:
         w_flat, paired = list(ws), mxu == "tensorfloat32"
@@ -1991,14 +2205,32 @@ def bert_layer_fwd_core(x_in, ext_mask, lp, num_heads: int, head_dim: int,
               attn_mxu=attn_mxu, mlp_mxu=mlp_mxu)
     if not use_pallas and not interpret:
         wp = _pair_weights(w_flat, paired)
-        return _bert_fwd_math(*args, *wp, **kw)
+        return _bert_fwd_math(*args, *wp, **kw, save_attn=save_attn,
+                              save_probs=save_probs, save_mlp=save_mlp)
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    out_shape = [jax.ShapeDtypeStruct((S, D), dt)] * 2
+    if save_attn:
+        out_shape += [jax.ShapeDtypeStruct((S, 3 * D), dt)]
+        if save_probs:
+            out_shape += [jax.ShapeDtypeStruct((h * S, S), dt),
+                          jax.ShapeDtypeStruct((h * S, S), dt)]
+        out_shape += [jax.ShapeDtypeStruct((S, D), dt),
+                      jax.ShapeDtypeStruct((S, D), dt)]
+    if save_mlp:
+        out_shape += [jax.ShapeDtypeStruct((S, I), dt),
+                      jax.ShapeDtypeStruct((S, D), dt)]
+    # the save_probs path keeps (h, S, S) dots+probs alive as outputs
+    # across the whole head loop — at S=512 that alone is ~25 MiB of VMEM
+    # on top of the weights; raise the scoped cap accordingly
+    mib = 96 if not save_probs else (120 if S >= 384 else 96)
     return pl.pallas_call(
-        functools.partial(_bert_fwd_kernel, paired=paired, **kw),
+        functools.partial(_bert_fwd_kernel, paired=paired, **kw,
+                          save_attn=save_attn, save_probs=save_probs,
+                          save_mlp=save_mlp),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (12 + len(w_flat)),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((S, D), dt)] * 2,
-        compiler_params=_vmem_params(interpret),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        out_shape=out_shape,
+        compiler_params=_vmem_params(interpret, mib=mib),
         interpret=interpret,
     )(*args, *w_flat)
