@@ -2,18 +2,31 @@
 
 Prints ONE JSON line. Headline fields:
   * ``value`` — the production mixed-precision mode's throughput;
-  * ``parity_value`` — the exact-f32 mode's throughput, with
-    ``parity_mode: "exact-f32"`` making explicit that this row is the
-    bitwise-reference-ordered program, NOT the only parity-class mode;
-  * ``fidelity`` — the quantitative fp32-tolerance criterion (PERF.md
-    "The f32 chaos floor" / round 2b): per-sample Pearson correlation vs
-    f64 CPU ground truth on 16 randn samples + the catdog acceptance image.
-    ``parity_class`` is true when the production mode's mean corr vs truth
-    >= the exact-f32 path's own mean corr vs truth (the f32 chaos floor) —
-    i.e. by the only measurable definition of "fp32 tolerance" under
-    reassociation chaos, the production mode IS parity-class. Requires the
-    committed truth cache (experiments/data/fidelity_truth.npz; regenerate
-    with experiments/perf_fidelity_truth.py); skipped if absent or
+  * ``parity_value`` — the f32-HIGHEST mode's throughput, with
+    ``parity_mode: "tpu-f32-highest"`` naming what that program actually
+    is: XLA lowers f32 matmuls to 6-pass-bf16 MXU emulation — *exact* f32
+    matmul does not exist on this hardware, so this row is the closest
+    f32-class program the chip can run, not a bitwise f32 reference;
+  * ``fidelity`` — the quantitative fp32-tolerance evidence (PERF.md
+    "The parity criterion"): per-sample Pearson correlation vs f64 CPU
+    ground truth on 16 randn samples + the catdog acceptance image.
+    Measured round 3 (experiments/perf_parity_class_{cpu,torch}.py,
+    committed per-sample data in experiments/data/): EXACT-f32 programs —
+    jax on XLA:CPU (mean .99998) and the torch reference itself
+    (mean .99994) — match the f64 truth on every sample *including* the
+    ill-conditioned ones, so f32 "reassociation chaos" is a non-issue;
+    the corr drops on random-weight chaos samples are the cost of the
+    MXU's bf16xN f32/tf32 *emulation*. ``parity_class`` is therefore
+    true when (a) the real-image (catdog) production corr vs truth is
+    >= 0.999 AND (b) the production mode's random-weight infidelity
+    (1 - mean corr) is <= 2x the TPU f32-HIGHEST program's own — i.e.
+    production costs at most one more hardware-f32-floor of error on a
+    synthetic stress set the real acceptance regime never enters (the
+    2x budget is a declared engineering margin; the raw per-mode stats
+    are always emitted alongside so the reader can apply their own).
+    Requires the committed truth cache
+    (experiments/data/fidelity_truth.npz; regenerate with
+    experiments/perf_fidelity_truth.py); skipped if absent or
     BENCH_FIDELITY=0.
   * ``extra_models`` — optional ViT-L and BERT-base rows
     (BENCH_MODELS=vit_l,bert_s512,bert_s128; default all three, set
@@ -243,26 +256,38 @@ def main():
     if parity is not None:
         out["parity_value"] = round(parity[1], 2)
         out["parity_vs_baseline"] = round(parity[1] / 500.0, 4)
-        # exact-f32 = the reference-ordered bitwise-parity program; the
-        # fidelity block below states the measurable fp32-tolerance
-        # criterion under which the production mode is ALSO parity-class
-        out["parity_mode"] = "exact-f32"
+        # f32-HIGHEST on TPU = XLA's bf16x6 MXU emulation (exact f32
+        # matmul does not exist on this hardware); the fidelity block
+        # below carries the evidence for the parity-class criterion
+        out["parity_mode"] = "tpu-f32-highest"
 
     # fidelity vs f64 ground truth (cheap: 2 extra calls at compiled shapes)
     if (os.environ.get("BENCH_FIDELITY", "1") != "0"
             and os.path.isfile(TRUTH_PATH)):
         try:
             fid = {"criterion":
-                   "parity-class iff production mean per-sample corr vs f64 "
-                   "CPU truth >= the exact-f32 path's own mean (the f32 "
-                   "reassociation-chaos floor); samples: 16 randn + catdog"}
+                   "parity-class iff catdog corr vs f64 CPU truth >= 0.999 "
+                   "AND random-weight infidelity (1 - mean corr) <= 2x the "
+                   "TPU f32-HIGHEST program's own (the hardware f32 floor: "
+                   "XLA emulates f32 matmuls as bf16x6 MXU passes; EXACT "
+                   "f32 orderings — XLA:CPU .99998, torch reference .99994 "
+                   "— match truth on every sample, so the floor is MXU "
+                   "emulation, not reassociation); samples: 16 randn + "
+                   "catdog"}
             fid["production_corr_vs_f64"] = _corr_stats(prod_fn, params, B)
+            # committed exact-f32 constants (experiments/data/
+            # perf_parity_class_{cpu,torch}.json, round 3)
+            fid["exact_f32_cpu_mean"] = 0.99998
+            fid["exact_f32_torch_mean"] = 0.99994
             if parity is not None:
                 fid["f32_corr_vs_f64"] = _corr_stats(parity[2], params,
                                                      parity[0])
+                prod_s = fid["production_corr_vs_f64"]
+                f32_s = fid["f32_corr_vs_f64"]
                 fid["parity_class"] = bool(
-                    fid["production_corr_vs_f64"]["mean"]
-                    >= fid["f32_corr_vs_f64"]["mean"])
+                    prod_s["catdog"] >= 0.999
+                    and (1.0 - prod_s["mean"])
+                    <= 2.0 * (1.0 - f32_s["mean"]))
             out["fidelity"] = fid
         except Exception as e:
             print(f"# fidelity stage failed: {type(e).__name__}: "

@@ -217,3 +217,29 @@ def test_adapt_pretrained_distilled_resolution_change():
     img = jnp.asarray(np.random.RandomState(0).randn(3, 64, 64), jnp.float32)
     logits = vit_mod.forward(adapted, img, tgt)
     assert logits.shape == (4,) and bool(jnp.isfinite(logits).all())
+
+
+def test_state_dict_export_roundtrip():
+    """jax -> torch-layout export (vit_state_dict_from_params) inverts the
+    importer exactly, including the distilled extras and qkv bias."""
+    import dataclasses
+    from transformer_explainability_tpu.models.vit import (
+        DEIT_BASE_DISTILLED_16_224)
+    cfg = dataclasses.replace(DEIT_BASE_DISTILLED_16_224, img_size=32,
+                              embed_dim=8, depth=2, num_heads=2,
+                              num_classes=4)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sd = C.vit_state_dict_from_params(params, cfg)
+    # torch tensor layout invariants
+    D, P = cfg.embed_dim, cfg.patch_size
+    assert sd["patch_embed.proj.weight"].shape == (D, 3, P, P)
+    assert sd["cls_token"].shape == (1, 1, D)
+    assert sd["blocks.1.attn.qkv.weight"].shape == (3 * D, D)
+    back = C.vit_params_from_torch_state_dict(sd, cfg)
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(params)
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    fb = {str(k): v for k, v in flat_b.items()}
+    assert len(flat_a) == len(fb)
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(fb[str(k)]),
+                                      err_msg=str(k))

@@ -8,10 +8,13 @@ Shared random weights (zero egress: the pretrained checkpoint cannot be
 downloaded, so "golden" here means agreement between the two implementations
 on the golden *input*, at the real model size).
 
-Run in FLOAT64 on both sides: with random weights, 12 layers of LRP
-safe-divide chains amplify fp32 reassociation noise to ~30% relative L2
-between ANY two op orderings (measured: torch-f32 vs jax-f32 corr 0.985 —
-the same chaos PERF.md's precision ladder documents within this repo alone).
+Run in FLOAT64 on both sides. (An earlier version of this docstring blamed
+a measured torch-f32-vs-jax-f32 corr of 0.985 on "reassociation between op
+orderings"; round 3d re-measured with BOTH sides on CPU and found exact-f32
+orderings agree to >=0.9997 per-sample — the 0.985 figure had the jax side
+on TPU, where XLA emulates f32 matmuls as bf16x6 MXU passes. f64 still
+removes that hardware-emulation noise entirely; see PERF.md "The parity
+criterion, stated once".)
 In f64 the two implementations agree to ~2e-10 relative L2 / corr 1.0,
 which proves *semantic* identity at scale; fp32-tolerance agreement on
 trained checkpoints (whose attention is saturated, not chaotic) is the

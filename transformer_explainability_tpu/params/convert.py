@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from transformer_explainability_tpu.models.vit import ViTConfig
@@ -83,6 +84,56 @@ def vit_params_from_torch_state_dict(sd: Mapping[str, Any],
             "kernel": jnp.asarray(sd["head_dist.weight"].T, dtype),
             "bias": jnp.asarray(sd["head_dist.bias"], dtype)}
     return params
+
+
+def vit_state_dict_from_params(params: Mapping[str, Any],
+                               cfg: ViTConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`vit_params_from_torch_state_dict`: export our
+    pytree to the reference/timm state-dict layout (numpy arrays — feed to
+    ``torch.from_numpy`` / ``model.load_state_dict``). Round-trip exact.
+
+    Exists so jax-trained or jax-initialized weights can be loaded into the
+    reference ``baselines/ViT/ViT_LRP.py`` model (cross-framework eval,
+    fidelity methodology) or any timm ViT.
+    """
+    p = jax.tree.map(np.asarray, dict(params))
+    D, L, C, P = cfg.embed_dim, cfg.depth, cfg.in_chans, cfg.patch_size
+    sd: Dict[str, np.ndarray] = {
+        # (C*P*P, D) channel-major flatten -> (D, C, P, P)
+        "patch_embed.proj.weight":
+            p["patch_embed"]["kernel"].T.reshape(D, C, P, P).copy(),
+        "patch_embed.proj.bias": p["patch_embed"]["bias"],
+        "cls_token": p["cls_token"].reshape(1, 1, D),
+        "pos_embed": p["pos_embed"][None],
+        "norm.weight": p["norm"]["scale"], "norm.bias": p["norm"]["bias"],
+        "head.weight": p["head"]["kernel"].T.copy(),
+        "head.bias": p["head"]["bias"],
+    }
+    per_block = [
+        ("blocks.{}.norm1.weight", ("norm1", "scale"), False),
+        ("blocks.{}.norm1.bias", ("norm1", "bias"), False),
+        ("blocks.{}.attn.qkv.weight", ("qkv", "kernel"), True),
+        ("blocks.{}.attn.proj.weight", ("proj", "kernel"), True),
+        ("blocks.{}.attn.proj.bias", ("proj", "bias"), False),
+        ("blocks.{}.norm2.weight", ("norm2", "scale"), False),
+        ("blocks.{}.norm2.bias", ("norm2", "bias"), False),
+        ("blocks.{}.mlp.fc1.weight", ("fc1", "kernel"), True),
+        ("blocks.{}.mlp.fc1.bias", ("fc1", "bias"), False),
+        ("blocks.{}.mlp.fc2.weight", ("fc2", "kernel"), True),
+        ("blocks.{}.mlp.fc2.bias", ("fc2", "bias"), False),
+    ]
+    if "bias" in p["blocks"]["qkv"]:
+        per_block.append(("blocks.{}.attn.qkv.bias", ("qkv", "bias"), False))
+    for fmt, (mod, leaf), transpose in per_block:
+        stacked = p["blocks"][mod][leaf]
+        for i in range(L):
+            a = stacked[i]
+            sd[fmt.format(i)] = a.T.copy() if transpose else a
+    if "dist_token" in p:                      # timm deit_*_distilled_*
+        sd["dist_token"] = p["dist_token"].reshape(1, 1, D)
+        sd["head_dist.weight"] = p["head_dist"]["kernel"].T.copy()
+        sd["head_dist.bias"] = p["head_dist"]["bias"]
+    return sd
 
 
 def bert_params_from_torch_state_dict(sd: Mapping[str, Any], cfg,
