@@ -243,3 +243,27 @@ def test_state_dict_export_roundtrip():
     for k, v in flat_a:
         np.testing.assert_array_equal(np.asarray(v), np.asarray(fb[str(k)]),
                                       err_msg=str(k))
+
+
+def test_bert_state_dict_export_roundtrip():
+    """jax -> HF-layout export (bert_state_dict_from_params) inverts the
+    importer exactly, with and without the bert. encoder prefix."""
+    from transformer_explainability_tpu.models.bert import (
+        BertConfig, init_params as bert_init)
+    cfg = BertConfig(vocab_size=50, hidden_size=8, num_layers=2,
+                     num_heads=2, intermediate_size=16,
+                     max_position_embeddings=16, num_labels=3)
+    params = bert_init(jax.random.PRNGKey(0), cfg)
+    for prefix in (True, False):
+        sd = C.bert_state_dict_from_params(params, cfg, prefix_bert=prefix)
+        pre = "bert." if prefix else ""
+        assert pre + "encoder.layer.1.attention.self.query.weight" in sd
+        assert "classifier.weight" in sd        # never prefixed
+        back = C.bert_params_from_torch_state_dict(sd, cfg)
+        flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+        fb = {str(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(back)[0]}
+        assert len(flat_a) == len(fb)
+        for k, v in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(fb[str(k)]), err_msg=str(k))

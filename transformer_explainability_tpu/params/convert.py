@@ -190,6 +190,56 @@ def bert_params_from_torch_state_dict(sd: Mapping[str, Any], cfg,
     return params
 
 
+def bert_state_dict_from_params(params: Mapping[str, Any], cfg,
+                                prefix_bert: bool = True
+                                ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`bert_params_from_torch_state_dict`: export our
+    pytree to the HF BertForSequenceClassification state-dict layout
+    (numpy arrays). Round-trip exact.
+
+    ``prefix_bert``: emit ``bert.``-prefixed encoder keys (the
+    classification-model layout the reference pipeline saves/reloads,
+    ``bert_pipeline.py:404,426-429``) — pass False for a bare BertModel
+    dict. Lets ERASER models fine-tuned here (rationale/pipeline.py) be
+    exported back to the HF/torch ecosystem.
+    """
+    p = jax.tree.map(np.asarray, dict(params))
+    L = cfg.num_layers
+    pre = "bert." if prefix_bert else ""
+    emb, lay = p["embeddings"], p["layers"]
+    sd: Dict[str, np.ndarray] = {
+        pre + "embeddings.word_embeddings.weight": emb["word"],
+        pre + "embeddings.position_embeddings.weight": emb["position"],
+        pre + "embeddings.token_type_embeddings.weight": emb["token_type"],
+        pre + "embeddings.LayerNorm.weight": emb["ln"]["scale"],
+        pre + "embeddings.LayerNorm.bias": emb["ln"]["bias"],
+        pre + "pooler.dense.weight": p["pooler"]["kernel"].T.copy(),
+        pre + "pooler.dense.bias": p["pooler"]["bias"],
+    }
+    per_layer = [
+        ("attention.self.query", "q", True),
+        ("attention.self.key", "k", True),
+        ("attention.self.value", "v", True),
+        ("attention.output.dense", "attn_out", True),
+        ("attention.output.LayerNorm", "attn_ln", False),
+        ("intermediate.dense", "inter", True),
+        ("output.dense", "out", True),
+        ("output.LayerNorm", "out_ln", False),
+    ]
+    for hf_name, ours, is_linear in per_layer:
+        mod = lay[ours]
+        w = mod["kernel"] if is_linear else mod["scale"]
+        b = mod["bias"]
+        for i in range(L):
+            base = f"{pre}encoder.layer.{i}.{hf_name}"
+            sd[base + ".weight"] = w[i].T.copy() if is_linear else w[i]
+            sd[base + ".bias"] = b[i]
+    if "classifier" in p:        # classifier stays unprefixed in HF layout
+        sd["classifier.weight"] = p["classifier"]["kernel"].T.copy()
+        sd["classifier.bias"] = p["classifier"]["bias"]
+    return sd
+
+
 def load_bert_checkpoint(path_or_name: str, cfg, dtype=jnp.float32):
     """Load from an HF-format directory/file (safetensors or torch .bin/.pt)."""
     import os
