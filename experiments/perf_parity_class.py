@@ -7,13 +7,17 @@ script dumps the PER-SAMPLE corrs for
 
   * prod       : tf32 + f32 attn island + bf16 rules/MLP (kernels on)
   * f32_xla    : exact f32, XLA ordering (the bench parity row)
-  * f32_kernel : exact f32, megakernel ordering (a SECOND exact-f32
-                 program — its per-sample disagreement with f32_xla IS
-                 the reassociation-chaos scale; PERF.md "f32 chaos floor")
+  * f32_kernel : "f32", attention-kernel ordering (bf16x6 in-kernel
+                 HIGHEST emulation — NOT exact f32; neither is f32_xla
+                 on TPU, where XLA lowers f32 matmuls to bf16x6 MXU
+                 passes. The exact-f32 members of the class live on CPU:
+                 see perf_parity_class_cpu.py / _torch.py.)
 
-so the parity question can be asked sample-by-sample: is
-|corr(prod) - corr(f32_xla)| within the spread the two exact-f32
-programs show on that same sample?
+Historical note (round 3d): the first run of this script called
+explain_single(use_attn_kernel=True) WITHOUT
+jax.default_matmul_precision — the XLA-side rule dots ran at the TPU's
+bf16 default and the row came out 0.817 mean. explain_single now
+self-applies the context; the committed json carries both rows.
 
 Results to /tmp/perf_parity_class.json.
 """

@@ -59,7 +59,23 @@ def explain_single(params, input_ids, attention_mask, index, cfg: BertConfig,
     ``mlp_precision`` overrides the inter/out dense dots on the fused-kernel
     path only (TPU + transformer_attribution + tf32/bf16 passes); the XLA
     fallback ignores it — see PERF.md's BERT table for the measured modes.
+
+    Self-applies ``jax.default_matmul_precision(matmul_precision)`` so
+    direct callers match the make_explain_fn numerics (the XLA-side rule
+    dots carry no per-dot ``precision=`` — see the ViT explain_single note,
+    PERF.md round 3d).
     """
+    with jax.default_matmul_precision(matmul_precision):
+        return _explain_single_impl(
+            params, input_ids, attention_mask, index, cfg, method,
+            start_layer, alpha, variant, relprop_precision,
+            matmul_precision, attn_precision, use_kernel, mlp_precision)
+
+
+def _explain_single_impl(params, input_ids, attention_mask, index, cfg,
+                         method, start_layer, alpha, variant,
+                         relprop_precision, matmul_precision,
+                         attn_precision, use_kernel, mlp_precision):
     if method not in METHODS:
         raise ValueError(
             f"unknown method {method!r}; available: {sorted(METHODS)}")

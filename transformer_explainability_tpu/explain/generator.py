@@ -79,7 +79,28 @@ def explain_single(params, img: Array, index: Array, cfg: ViTConfig,
     the reverse-side (backward-gradient) ones. On the full rich-anchor
     path these are truly independent — the reverse consumes saved
     linearization points, so no consistency constraint couples them.
+
+    Self-applies ``jax.default_matmul_precision(matmul_precision)``: the
+    XLA-side rule dots carry no per-dot ``precision=`` and would otherwise
+    run at the backend default (1-pass bf16 on TPU) regardless of the
+    ``matmul_precision`` argument — measured mean corr vs f64 truth 0.817
+    instead of 0.994 at "float32" (PERF.md round 3d). Direct callers
+    (tests, experiments, notebooks) therefore get the same numerics as
+    the make_explain_fn / Explainer wrappers without wrapping themselves.
     """
+    with jax.default_matmul_precision(matmul_precision):
+        return _explain_single_impl(
+            params, img, index, cfg, method, start_layer, is_ablation,
+            alpha, variant, relprop_precision, attn_precision, unroll,
+            matmul_precision, use_attn_kernel, mlp_precision,
+            mlp_fwd_precision, mlp_bwd_precision)
+
+
+def _explain_single_impl(params, img, index, cfg, method, start_layer,
+                         is_ablation, alpha, variant, relprop_precision,
+                         attn_precision, unroll, matmul_precision,
+                         use_attn_kernel, mlp_precision,
+                         mlp_fwd_precision, mlp_bwd_precision) -> Array:
     if method not in METHODS:
         raise ValueError(
             f"unknown method {method!r}; available: {sorted(METHODS)}")
