@@ -259,6 +259,14 @@ def test_bert_state_dict_export_roundtrip():
         pre = "bert." if prefix else ""
         assert pre + "encoder.layer.1.attention.self.query.weight" in sd
         assert "classifier.weight" in sd        # never prefixed
+        # the reference's persistent position_ids buffer (BERT.py:55-56):
+        # a strict load_state_dict would report it missing otherwise
+        pid = sd[pre + "embeddings.position_ids"]
+        assert pid.shape == (1, cfg.max_position_embeddings)
+        assert pid.dtype == np.int64
+        # every exported leaf must be writable (torch.from_numpy warns and
+        # aliases immutable memory on read-only arrays)
+        assert all(a.flags.writeable for a in sd.values())
         back = C.bert_params_from_torch_state_dict(sd, cfg)
         flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
         fb = {str(k): v for k, v in

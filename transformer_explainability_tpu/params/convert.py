@@ -96,7 +96,10 @@ def vit_state_dict_from_params(params: Mapping[str, Any],
     reference ``baselines/ViT/ViT_LRP.py`` model (cross-framework eval,
     fidelity methodology) or any timm ViT.
     """
-    p = jax.tree.map(np.asarray, dict(params))
+    # np.array (not asarray): jax arrays view as read-only numpy;
+    # torch.from_numpy on non-writable arrays warns and silently aliases
+    # immutable memory — export owned, writable buffers uniformly
+    p = jax.tree.map(lambda a: np.array(a), dict(params))
     D, L, C, P = cfg.embed_dim, cfg.depth, cfg.in_chans, cfg.patch_size
     sd: Dict[str, np.ndarray] = {
         # (C*P*P, D) channel-major flatten -> (D, C, P, P)
@@ -202,12 +205,22 @@ def bert_state_dict_from_params(params: Mapping[str, Any], cfg,
     ``bert_pipeline.py:404,426-429``) — pass False for a bare BertModel
     dict. Lets ERASER models fine-tuned here (rationale/pipeline.py) be
     exported back to the HF/torch ecosystem.
+
+    Includes the ``embeddings.position_ids`` buffer the reference's
+    vendored BertEmbeddings registers persistently (``BERT.py:55-56`` —
+    it is exported when the torch model is serialized), so a strict
+    ``load_state_dict`` (``bert_pipeline.py:426-429``) sees no missing
+    keys. (Alternative: load with ``strict=False`` and drop the key.)
     """
-    p = jax.tree.map(np.asarray, dict(params))
+    # np.array (not asarray): export owned, writable buffers — see
+    # vit_state_dict_from_params
+    p = jax.tree.map(lambda a: np.array(a), dict(params))
     L = cfg.num_layers
     pre = "bert." if prefix_bert else ""
     emb, lay = p["embeddings"], p["layers"]
     sd: Dict[str, np.ndarray] = {
+        pre + "embeddings.position_ids":
+            np.arange(cfg.max_position_embeddings, dtype=np.int64)[None],
         pre + "embeddings.word_embeddings.weight": emb["word"],
         pre + "embeddings.position_embeddings.weight": emb["position"],
         pre + "embeddings.token_type_embeddings.weight": emb["token_type"],
