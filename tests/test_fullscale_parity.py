@@ -164,6 +164,50 @@ def test_fullscale_full_lrp_catdog(pair):
 
 @requires_reference
 @pytest.mark.slow
+@pytest.mark.parametrize("start_layer", [1, 7])
+def test_fullscale_rollout_start_layer(pair, start_layer):
+    """cam-based rollout (ViT_LRP.py:345-354) at REAL depth 12: the chain
+    product Π(I + cam_i) runs from ``start_layer`` with NO row
+    normalization (ViT_LRP.py:44-45 commented out); an off-by-one in the
+    chain start is invisible at the depth-3 toy tests."""
+    import jax.numpy as jnp
+    ref, params, img = pair
+    want = _ref_relprop(ref, img, DOG_CLASS, "rollout",
+                        start_layer=start_layer)
+    fn = _jit_explain("rollout", start_layer=start_layer)
+    got = np.asarray(fn(params, jnp.asarray(img[0]), jnp.int32(DOG_CLASS)))
+    assert got.shape == (CFG.num_patches,)
+    _assert_heatmap_parity(got, want)
+
+
+@requires_reference
+@pytest.mark.slow
+@pytest.mark.parametrize("start_layer", [0, 7])
+def test_fullscale_rollout_attn_start_layer(pair, start_layer):
+    """raw-attention rollout (Baselines.generate_rollout,
+    ViT_explanation_generator.py:74-83) at depth 12 — this variant IS
+    row-normalized (:7-18), unlike the cam-based one above; both the
+    normalization and the start_layer chain slice are pinned here."""
+    import torch
+    import jax.numpy as jnp
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from baselines.ViT.ViT_explanation_generator import (
+        compute_rollout_attention)
+    ref, params, img = pair
+    ref(torch.tensor(img))              # forward populates save_attn hooks
+    mats = [blk.attn.get_attn().sum(dim=1) / blk.attn.get_attn().shape[1]
+            for blk in ref.blocks]
+    rollout = compute_rollout_attention(
+        [m.detach() for m in mats], start_layer=start_layer)
+    want = rollout[:, 0, 1:].detach().numpy()[0]
+    fn = _jit_explain("rollout_attn", start_layer=start_layer)
+    got = np.asarray(fn(params, jnp.asarray(img[0]), jnp.int32(DOG_CLASS)))
+    _assert_heatmap_parity(got, want)
+
+
+@requires_reference
+@pytest.mark.slow
 def test_fullscale_attn_gradcam_catdog(pair):
     import torch
     import jax.numpy as jnp
