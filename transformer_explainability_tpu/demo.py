@@ -68,6 +68,22 @@ def show_cam_on_image(img_hwc: np.ndarray, mask_hw: np.ndarray) -> np.ndarray:
     return cam / cam.max()
 
 
+def render_token_heatmap(heat: np.ndarray, img01_hwc: np.ndarray,
+                         grid: int = 14, size: int = 224) -> np.ndarray:
+    """Token-relevance row -> rendered overlay, the exact notebook pipeline:
+    (grid*grid,) -> grid x grid -> bilinear upsample to ``size`` ->
+    min-max normalize -> JET overlay on the [0,1] image. Returns HWC [0,1].
+
+    Shared by Demo.generate_visualization and the golden-artifact
+    regression test (tests/test_golden.py), so a rendering/colormap/resize
+    regression in any piece of this chain fails CI."""
+    from transformer_explainability_tpu import native
+    hm = np.asarray(heat, np.float32).reshape(grid, grid)
+    hm = native.resize_bilinear_chw(hm[None, None], size, size)[0, 0]
+    hm = (hm - hm.min()) / (hm.max() - hm.min() + 1e-12)
+    return show_cam_on_image(np.clip(img01_hwc, 0, 1), hm)
+
+
 class Demo:
     """Single-image / batched explanation visualizer on ViT models."""
 
@@ -100,14 +116,14 @@ class Demo:
         hm = np.asarray(self.explainer.explain(
             x[None], indices=idx, method=method, start_layer=start_layer))[0]
         g, S = self.cfg.grid, self.cfg.img_size
-        if hm.ndim == 1:                       # token row -> grid
-            hm = hm.reshape(g, g)
+        img01 = (x.transpose(1, 2, 0) * STD) + MEAN
+        if hm.ndim == 1 and hm.size == g * g:  # token row -> shared pipeline
+            return render_token_heatmap(hm, img01, g, S)
         if hm.shape != (S, S):
             from transformer_explainability_tpu import native
             hm = native.resize_bilinear_chw(
                 hm[None, None].astype(np.float32), S, S)[0, 0]
         hm = (hm - hm.min()) / (hm.max() - hm.min() + 1e-12)
-        img01 = (x.transpose(1, 2, 0) * STD) + MEAN
         return show_cam_on_image(np.clip(img01, 0, 1), hm)
 
     def predict(self, image) -> np.ndarray:
