@@ -1,0 +1,90 @@
+"""Guarded production mode: diagnostics emission + chaos-detector wiring +
+CPU-fallback splicing (the TPU-side fidelity numbers live in PERF.md round 4
+and bench.py's fidelity block; here the machinery is proven on CPU)."""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from transformer_explainability_tpu.models.vit import (
+    VIT_BASE_16_224, init_params)
+from transformer_explainability_tpu.explain.generator import (
+    make_explain_fn, make_guarded_explain_fn, DIAG_FIELDS, CHAOS_STATS)
+
+CFG = dataclasses.replace(VIT_BASE_16_224, img_size=32, embed_dim=64,
+                          depth=3, num_heads=4, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(4, 3, 32, 32).astype(np.float32))
+    idx = jnp.asarray([1, -1, 3, 0], jnp.int32)
+    return params, imgs, idx
+
+
+def test_diagnostics_emission(setup):
+    """with_diagnostics returns the identical heatmap plus a finite
+    (B, len(DIAG_FIELDS)) stats vector whose conservation readout ~ 1."""
+    params, imgs, idx = setup
+    plain = make_explain_fn(CFG, "transformer_attribution")
+    diag_fn = make_explain_fn(CFG, "transformer_attribution",
+                              with_diagnostics=True)
+    want = np.asarray(plain(params, imgs, idx))
+    heat, diag = diag_fn(params, imgs, idx)
+    np.testing.assert_array_equal(np.asarray(heat), want)
+    diag = np.asarray(diag)
+    assert diag.shape == (4, len(DIAG_FIELDS))
+    assert np.isfinite(diag).all()
+    # r_sum: LRP conservation — seed one-hot sums to 1, "ours" rules
+    # conserve; on CPU f32 the drift is rounding-level
+    np.testing.assert_allclose(diag[:, 0], 1.0, atol=1e-2)
+    # every chaos statistic evaluates finite on the diag matrix
+    for name, fn in CHAOS_STATS.items():
+        s = fn(diag.astype(np.float64))
+        assert s.shape == (4,) and np.isfinite(s).all(), name
+
+
+def test_diagnostics_rejected_off_method(setup):
+    with pytest.raises(ValueError):
+        fn = make_explain_fn(CFG, "rollout", with_diagnostics=True)
+        fn(*setup)
+
+
+def test_guarded_no_flags_matches_production(setup):
+    params, imgs, idx = setup
+    plain = make_explain_fn(CFG, "transformer_attribution")
+    guarded = make_guarded_explain_fn(CFG, threshold=np.inf,
+                                      return_info=True)
+    heat, info = guarded(params, imgs, idx)
+    assert not info["flagged"].any()
+    np.testing.assert_array_equal(heat, np.asarray(plain(params, imgs, idx)))
+
+
+@pytest.mark.slow
+def test_guarded_flag_all_splices_cpu_fallback(setup):
+    """threshold=-1 flags every sample; the result must equal the exact-f32
+    CPU program per sample (the guarantee path), not the production one."""
+    params, imgs, idx = setup
+    guarded = make_guarded_explain_fn(CFG, threshold=-1.0, return_info=True)
+    heat, info = guarded(params, imgs, idx)
+    assert info["flagged"].all()
+    assert info["score"].shape == (4,)
+    exact = make_explain_fn(CFG, "transformer_attribution",
+                            matmul_precision="float32")
+    want = np.asarray(exact(params, imgs, idx))
+    # both run exact f32 on CPU here; argmax sentinel (-1) must resolve
+    # identically through the fallback path too
+    np.testing.assert_allclose(heat, want, rtol=1e-5, atol=1e-7)
+
+
+def test_guarded_requires_threshold():
+    from transformer_explainability_tpu.explain import generator as G
+    if G.GUARDED_DEFAULTS["threshold"] is None:
+        with pytest.raises(ValueError):
+            make_guarded_explain_fn(CFG)
+    else:
+        assert G.GUARDED_DEFAULTS["stat"] in CHAOS_STATS

@@ -626,6 +626,20 @@ def block_backward(g_out: Array, x_in: Array, x_mid: Array,
     return g_in, g_attn
 
 
+def _trunk_stats(g: Array, R: Array) -> Array:
+    """Per-block trunk norms stacked by the reverse scan when
+    ``with_trunk_stats`` is on: (|g|_inf, |g|_1, |R|_inf, |R|_1) of the
+    carry AFTER each block's reverse step. These are XLA-level reductions
+    on tensors the scan already carries (free on every path, megakernels
+    included); the guarded mode's trust-region detector consumes their
+    cross-block growth ratios (experiments/guarded_stats_cpu.py: per-block
+    gradient-magnitude growth separates the ill-conditioned stress regime
+    from real-image inputs where no single-realization statistic could)."""
+    return jnp.stack([jnp.max(jnp.abs(g)), jnp.sum(jnp.abs(g)),
+                      jnp.max(jnp.abs(R)), jnp.sum(jnp.abs(R))
+                      ]).astype(jnp.float32)
+
+
 def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  cfg: ViTConfig, alpha: float = 1.0, variant: str = "ours",
                  need_grads: bool = True, need_relprop: bool = True,
@@ -635,7 +649,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                  unroll: int = 1,
                  use_attn_kernel: bool = False,
                  matmul_precision: str = "float32",
-                 mlp_precision: Optional[str] = None
+                 mlp_precision: Optional[str] = None,
+                 with_trunk_stats: bool = False
                  ) -> Tuple[Optional[Array], Optional[Array], Optional[Array]]:
     """ONE reverse scan computing the class gradient w.r.t. every post-softmax
     attention map AND the LRP relevance chain, sharing a single recompute of
@@ -657,7 +672,13 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
     (h, n, n) tensors — 24x less scan-output HBM traffic (the profile shows
     the explain program is bandwidth/vector-bound, not MXU-bound). Returns
     (R_tokens, gc_maps (L, n, n), None).
+
+    ``with_trunk_stats=True`` (fused method only): additionally stacks
+    :func:`_trunk_stats` per block and returns a 4-tuple
+    (R_tokens, gc_maps, None, trunk (L, 4)).
     """
+    if with_trunk_stats:
+        assert fuse_grad_cam, "trunk stats are emitted by the fused scans"
     # gradient seed through the tail: x_final -> LN -> CLS -> head -> score
     g_final = None
     if need_grads:
@@ -754,15 +775,19 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
                     cfg.num_heads, cfg.head_dim, cfg.block_ln_eps,
                     mxu=mlp_mxu, attn_mxu=attn_mxu, rule_mxu=rule_mxu,
                     mlp_mxu=mlp_only_mxu, ws=ws, saved=saved)
+                if with_trunk_stats:
+                    return (g_in, R_in), (gc, _trunk_stats(g_in, R_in))
                 return (g_in, R_in), (gc,)
 
             assert res.outs is not None
             xs = (res.x_ins, res.x_mids, res.outs, params["blocks"], w_prep)
             if n_saved:
                 xs = xs + tuple(saved_fields)
-            (g0, R_tokens), (gc_maps,) = jax.lax.scan(
+            (g0, R_tokens), ys = jax.lax.scan(
                 kstep_block, (g_final, R), xs, reverse=True, unroll=unroll)
-            return R_tokens, gc_maps, None
+            if with_trunk_stats:
+                return R_tokens, ys[0], None, ys[1]
+            return R_tokens, ys[0], None
 
         # XLA-path rich anchors (the exact-f32 mode's analog of the
         # megakernel anchors): forward_collect saved the four pre-bias dot
@@ -854,6 +879,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             g_in = g_mid + _layernorm_bwd(g_xn1, x_in, bp["norm1"],
                                           cfg.block_ln_eps)
             R_in = with_rule_precision(rules_from_cam_qkv, cam_qkv, Ra1)
+            if with_trunk_stats:
+                return (g_in, R_in), (gc, _trunk_stats(g_in, R_in))
             return (g_in, R_in), (gc,)
 
         assert res.outs is not None, \
@@ -861,9 +888,11 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
         xs = (res.x_ins, res.x_mids, res.outs, params["blocks"])
         if n_lite:
             xs = xs + tuple(lite_saved)
-        (g0, R_tokens), (gc_maps,) = jax.lax.scan(
+        (g0, R_tokens), ys = jax.lax.scan(
             kstep, (g_final, R), xs, reverse=True, unroll=unroll)
-        return R_tokens, gc_maps, None
+        if with_trunk_stats:
+            return R_tokens, ys[0], None, ys[1]
+        return R_tokens, ys[0], None
 
     def step(carry, xs):
         g_out, Rc = carry
@@ -882,6 +911,8 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
             R_in, attn_cam = Rc, None
         if fuse_grad_cam:
             gc = jnp.clip(g_tap * attn_cam, min=0).mean(axis=0)   # (n, n)
+            if with_trunk_stats:
+                return (g_in, R_in), (gc, _trunk_stats(g_in, R_in))
             return (g_in, R_in), (gc,)
         return (g_in, R_in), (attn_cam, g_tap)
 
@@ -889,9 +920,11 @@ def reverse_pass(params: Params, res: Residuals, onehot: Array,
               R if need_relprop else jnp.zeros(()))
     xs = (res.x_ins, res.x_mids, params["blocks"])
     if fuse_grad_cam:
-        (g0, R_tokens), (gc_maps,) = jax.lax.scan(step, carry0, xs,
-                                                  reverse=True, unroll=unroll)
-        return R_tokens, gc_maps, None
+        (g0, R_tokens), ys = jax.lax.scan(step, carry0, xs,
+                                          reverse=True, unroll=unroll)
+        if with_trunk_stats:
+            return R_tokens, ys[0], None, ys[1]
+        return R_tokens, ys[0], None
     (g0, R_tokens), (attn_cams, attn_grads) = jax.lax.scan(
         step, carry0, xs, reverse=True, unroll=unroll)
     return (R_tokens if need_relprop else None,
