@@ -51,24 +51,52 @@ TRUTH_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "experiments", "data", "fidelity_truth.npz")
 
 
-def _time_fn(fn, params, imgs, idx, B):
-    """Pipelined throughput of one compiled explain fn (expl/s). NOTE: on
-    the axon-relay backend block_until_ready does not sync; the host
-    transfer is the sync point."""
-    np.asarray(fn(params, imgs, idx))  # warm-up + compile
-    n_iter = max(4, int(np.ceil(256 / B)))
+def _rate_once(fn, args, B, n_iter):
+    """One pipelined timing rep (expl/s). NOTE: on the axon-relay backend
+    block_until_ready does not sync; the host transfer is the sync point."""
     t0 = time.perf_counter()
-    outs = [fn(params, imgs, idx) for _ in range(n_iter)]
+    outs = [fn(*args) for _ in range(n_iter)]
     for out in outs:
         np.asarray(out)
-    dt = time.perf_counter() - t0
-    return B * n_iter / dt
+    return B * n_iter / (time.perf_counter() - t0)
+
+
+def _time_fn(fn, params, imgs, idx, B, reps=None):
+    """Median of ``reps`` timing reps in ONE process. Sequential
+    cross-process measurements drift with relay conditions by up to ~35%
+    (PERF.md round 3c); the median-of-reps headline stops ``vs_baseline``
+    being relay weather."""
+    np.asarray(fn(params, imgs, idx))  # warm-up + compile
+    reps = reps or int(os.environ.get("BENCH_REPS", "5"))
+    n_iter = max(2, int(np.ceil(128 / B)))
+    rates = [_rate_once(fn, (params, imgs, idx), B, n_iter)
+             for _ in range(reps)]
+    return float(np.median(rates))
+
+
+def _interleave_rates(entries, reps=None):
+    """entries: {name: (fn, args, B)} — alternate timing reps across all
+    compiled programs in one process (the perf_rich_anchors2.py
+    methodology), so relative numbers (production vs parity) are immune to
+    relay drift. Returns {name: {"value": median, "spread": [min, max]}}."""
+    reps = reps or int(os.environ.get("BENCH_REPS", "5"))
+    rates = {name: [] for name in entries}
+    for _ in range(reps):
+        for name, (fn, args, B) in entries.items():
+            n_iter = max(2, int(np.ceil(128 / B)))
+            rates[name].append(_rate_once(fn, args, B, n_iter))
+    return {name: {"value": round(float(np.median(r)), 2),
+                   "spread": [round(float(min(r)), 2),
+                              round(float(max(r)), 2)]}
+            for name, r in rates.items()}
 
 
 def _bench_mode(cfg, params, rng, precision, relprop_precision,
-                attn_precision, batch_candidates, mlp_precision=None):
-    """Best (batch, expl/s, fn) over the candidate batch sizes for one
-    precision mode."""
+                attn_precision, batch_candidates, mlp_precision=None,
+                reps=None):
+    """Best (batch, expl/s, fn, args) over the candidate batch sizes for one
+    precision mode (``reps=2`` for the batch sweep — the final headline is
+    re-measured interleaved)."""
     import jax.numpy as jnp
     from transformer_explainability_tpu.explain.generator import make_explain_fn
 
@@ -82,12 +110,12 @@ def _bench_mode(cfg, params, rng, precision, relprop_precision,
         imgs = jnp.asarray(rng.randn(B, 3, 224, 224).astype(np.float32))
         idx = jnp.asarray(rng.randint(0, 1000, B), jnp.int32)
         try:
-            rate = _time_fn(fn, params, imgs, idx, B)
+            rate = _time_fn(fn, params, imgs, idx, B, reps=reps)
             print(f"# [{precision}/{relprop_precision}] batch={B}: "
                   f"{rate:.1f} expl/s ({1e3 / rate:.2f} ms/expl)",
                   file=sys.stderr)
             if best is None or rate > best[1]:
-                best = (B, rate, fn)
+                best = (B, rate, fn, (params, imgs, idx))
         except Exception as e:  # OOM at large batch: fall through to smaller
             print(f"# batch={B} failed: {type(e).__name__}", file=sys.stderr)
             continue
@@ -174,13 +202,12 @@ def _bench_extra_models(names, rng):
                 mask = jnp.asarray(mask)
                 idx = jnp.asarray(rng.randint(0, cfg.num_labels, B), jnp.int32)
                 np.asarray(fn(params, ids, mask, idx))
-                n_iter = max(4, int(np.ceil(128 / B)))
-                t0 = time.perf_counter()
-                outs = [fn(params, ids, mask, idx) for _ in range(n_iter)]
-                for o in outs:
-                    np.asarray(o)
-                rate = B * n_iter / (time.perf_counter() - t0)
-                out[f"bert_base_s{S}"] = {"value": round(rate, 2), "batch": B}
+                n_iter = max(2, int(np.ceil(128 / B)))
+                reps = int(os.environ.get("BENCH_REPS", "5"))
+                rates = [_rate_once(fn, (params, ids, mask, idx), B, n_iter)
+                         for _ in range(reps)]
+                out[f"bert_base_s{S}"] = {
+                    "value": round(float(np.median(rates)), 2), "batch": B}
             else:
                 continue
             print(f"# extra model {name}: {json.dumps(out)}", file=sys.stderr)
@@ -223,12 +250,14 @@ def main():
     batch_candidates = [int(b) for b in
                         os.environ.get("BENCH_BATCHES", "96,64").split(",")]
 
+    # quick sweep (2 reps/batch) to pick the operating batch; the headline
+    # is then re-measured interleaved below
     best = _bench_mode(cfg, params, rng, precision, relprop_precision,
                        attn_precision, batch_candidates,
-                       mlp_precision=mlp_precision)
+                       mlp_precision=mlp_precision, reps=2)
     if best is None:
         raise SystemExit("all batch sizes failed")
-    B, rate, prod_fn = best
+    B, rate, prod_fn, prod_args = best
 
     # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1); only
     # the production sweep's best batch size is re-run — each extra shape
@@ -239,23 +268,35 @@ def main():
                 ("float32", None, None):
             parity = best
         else:
-            parity = _bench_mode(cfg, params, rng, "float32", None, None, [B])
+            parity = _bench_mode(cfg, params, rng, "float32", None, None,
+                                 [B], reps=2)
             if parity is None and B > 64:
                 # robustness: if the f32 mode OOMs at the production batch
                 # (e.g. with TE_TPU_RICH_XLA=1 anchors, ~113 MB/sample),
                 # fall back to 64 rather than dropping the parity row
                 parity = _bench_mode(cfg, params, rng, "float32", None, None,
-                                     [64])
+                                     [64], reps=2)
+
+    # headline: median of interleaved reps in ONE process (both programs
+    # already compiled) — relay drift hits all entries alike, so the
+    # production/parity ratio and the headline median are weather-proof
+    entries = {"production": (prod_fn, prod_args, B)}
+    if parity is not None:
+        entries["parity"] = (parity[2], parity[3], parity[0])
+    stats = _interleave_rates(entries)
+    rate = stats["production"]["value"]
 
     out = {
         "metric": "vit_b16_transformer_attribution_explanations_per_sec_per_chip",
-        "value": round(rate, 2),
+        "value": rate,
         "unit": "explanations/s",
         "vs_baseline": round(rate / 500.0, 4),
+        "value_spread": stats["production"]["spread"],
     }
     if parity is not None:
-        out["parity_value"] = round(parity[1], 2)
-        out["parity_vs_baseline"] = round(parity[1] / 500.0, 4)
+        out["parity_value"] = stats["parity"]["value"]
+        out["parity_vs_baseline"] = round(stats["parity"]["value"] / 500.0, 4)
+        out["parity_spread"] = stats["parity"]["spread"]
         # f32-HIGHEST on TPU = XLA's bf16x6 MXU emulation (exact f32
         # matmul does not exist on this hardware); the fidelity block
         # below carries the evidence for the parity-class criterion
@@ -275,10 +316,21 @@ def main():
                    "emulation, not reassociation); samples: 16 randn + "
                    "catdog"}
             fid["production_corr_vs_f64"] = _corr_stats(prod_fn, params, B)
-            # committed exact-f32 constants (experiments/data/
-            # perf_parity_class_{cpu,torch}.json, round 3)
-            fid["exact_f32_cpu_mean"] = 0.99998
-            fid["exact_f32_torch_mean"] = 0.99994
+            # exact-f32 anchor means, read from the committed evidence
+            # (experiments/data/perf_parity_class_{cpu,torch}.json) so
+            # regenerating that data cannot desynchronize the bench JSON;
+            # round-3 constants as fallback if the files are absent
+            data_dir = os.path.join(os.path.dirname(TRUTH_PATH))
+            for key, fname, field, fallback in (
+                    ("exact_f32_cpu_mean", "perf_parity_class_cpu.json",
+                     "mean", 0.99998),
+                    ("exact_f32_torch_mean", "perf_parity_class_torch.json",
+                     "mean", 0.99994)):
+                try:
+                    with open(os.path.join(data_dir, fname)) as f:
+                        fid[key] = round(float(json.load(f)[field]), 5)
+                except (OSError, KeyError, ValueError):
+                    fid[key] = fallback
             if parity is not None:
                 fid["f32_corr_vs_f64"] = _corr_stats(parity[2], params,
                                                      parity[0])
@@ -292,6 +344,88 @@ def main():
         except Exception as e:
             print(f"# fidelity stage failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
+
+    # production-guarded preset (BENCH_GUARDED=0 skips): the trust-region
+    # detector + exact-CPU fallback pipeline. Measures (a) min corr vs f64
+    # truth over the stress set — the guarantee (flagged randn samples are
+    # recomputed in exact f32 on the host CPU; unflagged real-image samples
+    # are production's own >=0.999 regime), and (b) the detector's cost on
+    # a realistic (non-chaos) batch at matched batch size.
+    if (os.environ.get("BENCH_GUARDED", "1") != "0"
+            and os.path.isfile(TRUTH_PATH)):
+        try:
+            import jax
+            import jax.numpy as jnp
+            from transformer_explainability_tpu.explain.generator import (
+                make_guarded_explain_fn, make_explain_fn, GUARDED_DEFAULTS)
+            Bg = int(os.environ.get("BENCH_GUARDED_BATCH", "32"))
+            guard = make_guarded_explain_fn(cfg, return_info=True)
+            d = np.load(TRUTH_PATH)
+            imgs, idx, truth = d["imgs"], d["idx"], d["truth"]
+            n = len(imgs)
+            pad = Bg - n
+            imgs_p = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]) \
+                if pad > 0 else imgs[:Bg]
+            idx_p = np.concatenate([idx, np.zeros((pad,), idx.dtype)]) \
+                if pad > 0 else idx[:Bg]
+            n_eff = min(n, Bg)
+            heat, info = guard(params, jnp.asarray(imgs_p),
+                               jnp.asarray(idx_p), n_valid=n_eff)
+            corrs = []
+            for i in range(n_eff):
+                a = heat[i].ravel().astype(np.float64)
+                b = truth[i].ravel()
+                a, b = a - a.mean(), b - b.mean()
+                corrs.append(float(a @ b / np.sqrt((a @ a) * (b @ b))))
+            corrs = np.asarray(corrs)
+            g = {"stat": GUARDED_DEFAULTS["stat"],
+                 "threshold": GUARDED_DEFAULTS["threshold"],
+                 "min": round(float(corrs.min()), 5),
+                 "mean": round(float(corrs.mean()), 5),
+                 "catdog": round(float(corrs[n_eff - 1]), 5),
+                 "flagged": int(info["flagged"].sum()), "n": n_eff}
+            # realistic batch: catdog + mild photometric noise — detector
+            # cost with zero fallbacks, vs the plain production program at
+            # the SAME batch size, interleaved
+            rngl = np.random.RandomState(7)
+            cat = imgs[-1]
+            reals = np.stack([
+                np.clip(cat * rngl.uniform(0.9, 1.1)
+                        + rngl.randn(*cat.shape).astype(np.float32) * 0.02,
+                        -1.5, 1.5) for _ in range(Bg)])
+            ridx = jnp.asarray(np.full(Bg, 243, np.int32))
+            rimgs = jnp.asarray(reals)
+            plain32 = make_explain_fn(
+                cfg, "transformer_attribution",
+                matmul_precision=precision,
+                relprop_precision=relprop_precision,
+                attn_precision=attn_precision, mlp_precision=mlp_precision)
+
+            def guarded_once():
+                h, i2 = guard(params, rimgs, ridx)
+                return int(i2["flagged"].sum())
+            flags_real = guarded_once()          # warm-up + flag count
+            np.asarray(plain32(params, rimgs, ridx))
+            reps = int(os.environ.get("BENCH_REPS", "5"))
+            gr, pr = [], []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                guarded_once()
+                gr.append(Bg / (time.perf_counter() - t0))
+                t0 = time.perf_counter()
+                np.asarray(plain32(params, rimgs, ridx))
+                pr.append(Bg / (time.perf_counter() - t0))
+            g["realistic_flagged"] = flags_real
+            g["realistic_rate"] = round(float(np.median(gr)), 2)
+            g["production_rate_same_batch"] = round(float(np.median(pr)), 2)
+            g["overhead_pct"] = round(
+                100.0 * (np.median(pr) / np.median(gr) - 1.0), 2)
+            out["min_corr"] = g["min"]
+            out.setdefault("fidelity", {})["guarded"] = g
+        except Exception as e:
+            print(f"# guarded stage failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
 
     extra_names = [m for m in os.environ.get(
         "BENCH_MODELS", "vit_l,bert_s512,bert_s128").split(",") if m]
