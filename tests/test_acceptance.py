@@ -22,6 +22,7 @@ def _run(argv, monkeypatch):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_acceptance_npz_render_only(tmp_path, monkeypatch, capsys):
     import jax
     from transformer_explainability_tpu.models.vit import (VIT_BASE_16_224,

@@ -2,6 +2,7 @@
 layer_relprop (interpret mode on CPU; the real TPU path is exercised by the
 bench)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def _layer_inputs(cfg, key=0, seed=6, S=21, masked=3):
     return params, lp, ext_mask, x_in, g_out, R
 
 
+@pytest.mark.slow
 def test_bert_rev_cores_interpret_match_layer_relprop():
     """out_rev_core ∘ attn_rev_core == layer_backward + layer_relprop + the
     fused (grad ⊙ cam)⁺ head-mean, in f64 (interpret mode)."""
@@ -83,6 +85,7 @@ def test_bert_fwd_core_interpret_matches_layer_acts():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_bert_explain_kernel_path_matches_reference_path():
     """explain_single(use_kernel=True) on CPU routes through the fused step
     structure with the jnp fallback cores — must match the einsum path (same
@@ -108,6 +111,7 @@ def test_bert_explain_kernel_path_matches_reference_path():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_bert_attn_rev_chunked_matches_single_kernel():
     """The chunked mid + per-head-chunk path (used above S=384 on TPU) is
     the same math as the single fused kernel, redistributed: per-chunk
@@ -138,6 +142,7 @@ def test_bert_attn_rev_chunked_matches_single_kernel():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_bert_rev_core_mlp_mxu_override():
     """The mlp_mxu knob (BERT analog of the ViT MLP-precision island):
     None == explicit mxu (bitwise); the tf32+mlp=bf16 mix changes ONLY the
@@ -177,6 +182,7 @@ def test_bert_rev_core_mlp_mxu_override():
                                   np.asarray(f_want[1]))
 
 
+@pytest.mark.slow
 def test_bert_prepared_weights_match_inline():
     params, lp, ext_mask, x_in, g_out, R = _layer_inputs(CFG, key=3, seed=9)
     for mxu in ["tensorfloat32", "bfloat16"]:
@@ -203,6 +209,7 @@ def test_bert_prepared_weights_match_inline():
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_bert_rich_anchors_match_recompute():
     """Rich forward anchors (save_attn/save_mlp) feed the reverse cores the
     exact values their recomputes would produce. On the eager math path
@@ -265,6 +272,7 @@ def test_bert_rich_anchors_match_recompute():
                               err_msg=f"{mxu} hc={hc} {name}")
 
 
+@pytest.mark.slow
 def test_bert_rich_anchor_explain_matches_plain(monkeypatch):
     """explain_single(use_kernel=True) with rich anchors on (default) ==
     anchors off — end-to-end through the forward_collect/reverse_pass

@@ -58,6 +58,7 @@ def test_seg_eval_end_to_end(tiny_params, tmp_path):
     assert any(n.startswith("result_mIoU_") for n in names)
 
 
+@pytest.mark.slow
 def test_seg_eval_precision_presets(tiny_params):
     """--precision plumbing: the named presets resolve to the documented
     make_explain_fn kwargs, run end-to-end, and float32 == the default."""
@@ -87,6 +88,7 @@ def test_seg_full_lrp_method(tiny_params):
     assert np.isfinite(list(res.values())).all()
 
 
+@pytest.mark.slow
 def test_visualize_perturbation_roundtrip(tiny_params, tmp_path):
     """Stage A writes results.hdf5; stage B consumes it — the reference's
     two-stage file contract."""

@@ -138,6 +138,7 @@ def test_attn_rev_core_jnp_matches_rule_library():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_explain_kernel_path_matches_reference_path():
     """explain_single(use_attn_kernel=True) on CPU routes through the fused
     step structure with the jnp fallback cores — must equal the einsum path
@@ -222,6 +223,7 @@ def test_mlp_rev_core_chunked_matches_one_shot():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_mlp_rev_core_jnp_matches_fused_step():
     """The jnp fallback must equal the exact ops of the non-kernel fused
     step (block_backward MLP half + the rule library) on random f32 data."""
@@ -271,6 +273,7 @@ def test_kernel_erf_matches_lax_erf():
                                np.asarray(jax.lax.erf(x)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_block_rev_core_interpret_matches_vit_blocks():
     """The whole-block megakernel == block_backward + _block_relprop_impl +
     the fused grad-cam map, in f64 (interpret mode)."""
@@ -402,6 +405,7 @@ def test_kdot_float32_triple_precision_sandwich():
     np.testing.assert_array_equal(arec, np.abs(np.asarray(w)))
 
 
+@pytest.mark.slow
 def test_mlp_rev_core_f32_triple_kernel_close_to_xla():
     """The f32-HIGHEST MLP kernel (triple-split weights, interpret mode, f32
     data) tracks the exact-f32 jnp fallback to f32-class accuracy on the
@@ -463,6 +467,7 @@ def test_islands_exceed_base_gating():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_bert_kernel_gate_respects_hidden_act():
     """Non-GELU BERT configs must not auto-route through the fused kernels
     (they hardcode exact GELU); an explicit use_kernel=True raises."""
@@ -507,6 +512,7 @@ def test_kabs_pair_matches_abs():
         np.abs(np.asarray(w)), rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_block_rev_core_tf32_interpret_close_to_f32():
     """The tf32 megakernel (paired weights) tracks the exact-f32 unfused
     reverse step to tf32-grade accuracy in interpret mode."""
@@ -541,6 +547,7 @@ def test_block_rev_core_tf32_interpret_close_to_f32():
         assert err < 5e-3, (name, err)
 
 
+@pytest.mark.slow
 def test_block_rev_core_prepared_weights_match_inline():
     """The prepare_block_weights -> ws plumbing (production scan path) is
     numerically identical to in-call weight preparation."""
@@ -584,6 +591,7 @@ def test_block_rev_core_prepared_weights_match_inline():
                 np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_block_rev_core_mlp_mxu_override():
     """The mlp_mxu knob: None == explicit mxu (bitwise), and the
     tf32+mlp=bf16 production mix changes ONLY the fc1/fc2 fwd/bwd dots
@@ -735,6 +743,7 @@ def test_block_fwd_core_save_mlp_anchors():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_block_rev_core_saved_anchors_match_recompute():
     """The rich-anchor reverse step == the recompute reverse step when the
     anchors come from the forward kernel (f64 interpret: both paths see the
@@ -804,6 +813,7 @@ def test_block_rev_core_saved_anchors_match_recompute():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
 def test_explain_rich_anchor_path_matches_recompute_path():
     """End-to-end: explain_single on the fused block path with rich anchors
     == without (CPU math fallback; identical linearization points)."""
