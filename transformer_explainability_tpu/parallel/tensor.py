@@ -29,6 +29,15 @@ would need psums INSIDE the Pallas program, which Mosaic cannot express —
 the attention cores (the layout-bound part XLA handles worst) are the part
 worth keeping under TP.
 
+MEASURED COST (round 4, real chip, B=32, production precision,
+experiments/perf_tp_cost.py): this program runs at 38% of the
+single-device megakernel rate per device (179.8 vs 467.4 expl/s at
+n_model=1, trivial psums — the loss is the dropped megakernels, not
+communication). TP is for models that don't fit a chip; for throughput,
+scale out with dp (its shard_map wrapper measures free). BERT TP is
+intentionally absent: BERT-base fits one chip, dp covers serving, SP
+covers long context (docs/PARALLELISM.md).
+
 Reference being distributed: ``ViT_LRP.py`` relprop (:154-177, :203-213) —
 the reference itself has no live parallelism (SURVEY §2.9).
 """
