@@ -245,10 +245,12 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
 
-    # 96 is the measured sweet spot with the megakernels (PERF.md); 64 stays
-    # as the fallback
+    # 104 is the measured optimum with the megakernels + rich anchors
+    # (PERF.md round 4b: B=112 is a named HBM wall — the program needs
+    # 15.87G of 15.75G — and interleaved 104 beats 96 by ~1%); 96/64 stay
+    # as fallbacks
     batch_candidates = [int(b) for b in
-                        os.environ.get("BENCH_BATCHES", "96,64").split(",")]
+                        os.environ.get("BENCH_BATCHES", "104,96").split(",")]
 
     # quick sweep (2 reps/batch) to pick the operating batch; the headline
     # is then re-measured interleaved below

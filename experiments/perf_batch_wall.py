@@ -73,6 +73,8 @@ def main():
     vit_b = VIT_CONFIGS["vit_base_patch16_224"]
     vit_l = VIT_CONFIGS["vit_large_patch16_224"]
     table = {
+        "vitb104": lambda: try_config("vit_b B=104", vit_b, 104,
+                                      rate_too=True),
         "vitb112": lambda: try_config("vit_b B=112", vit_b, 112,
                                       rate_too=True),
         "vitb128": lambda: try_config("vit_b B=128", vit_b, 128,
