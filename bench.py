@@ -81,7 +81,9 @@ def _interleave_rates(entries, reps=None):
     relay drift. Returns {name: {"value": median, "spread": [min, max]}}."""
     reps = reps or int(os.environ.get("BENCH_REPS", "5"))
     rates = {name: [] for name in entries}
-    for _ in range(reps):
+    for name, (fn, args, B) in entries.items():   # one discarded warm rep:
+        _rate_once(fn, args, B, 2)                # the first rep after a
+    for _ in range(reps):                         # program switch dips ~30%
         for name, (fn, args, B) in entries.items():
             n_iter = max(2, int(np.ceil(128 / B)))
             rates[name].append(_rate_once(fn, args, B, n_iter))
@@ -309,14 +311,22 @@ def main():
             and os.path.isfile(TRUTH_PATH)):
         try:
             fid = {"criterion":
-                   "parity-class iff catdog corr vs f64 CPU truth >= 0.999 "
-                   "AND random-weight infidelity (1 - mean corr) <= 2x the "
-                   "TPU f32-HIGHEST program's own (the hardware f32 floor: "
-                   "XLA emulates f32 matmuls as bf16x6 MXU passes; EXACT "
-                   "f32 orderings — XLA:CPU .99998, torch reference .99994 "
-                   "— match truth on every sample, so the floor is MXU "
-                   "emulation, not reassociation); samples: 16 randn + "
-                   "catdog"}
+                   "parity-class iff the guarded-strict pipeline's "
+                   "stress-set MIN corr vs f64 CPU truth >= 0.999 — the "
+                   "torch reference's own exact-f32 floor is 0.99936 "
+                   "(PERF.md 3d), so meeting 0.999 per-sample matches the "
+                   "reference's fp32-tolerance behavior. History: the "
+                   "round-3 criterion anchored on catdog>=0.999 and a "
+                   "mean-infidelity ratio vs the TPU-f32 mode; round 4 "
+                   "showed both anchors were artifacts of a per-sample "
+                   "lottery amplified by a weight-mismatch bug (PERF.md "
+                   "4a) — on random weights EVERY single TPU realization "
+                   "has a heavy per-sample tail (production 42%, TPU-f32 "
+                   "9% of samples below 0.999; exact f32 exists only on "
+                   "CPU), and only the strict cross-check pipeline "
+                   "(production + f32 verifier + exact-CPU fallback) has "
+                   "a guaranteed floor. Raw per-mode stats emitted "
+                   "alongside; samples: 16 randn + catdog"}
             fid["production_corr_vs_f64"] = _corr_stats(prod_fn, params, B)
             # exact-f32 anchor means, read from the committed evidence
             # (experiments/data/perf_parity_class_{cpu,torch}.json) so
@@ -336,32 +346,30 @@ def main():
             if parity is not None:
                 fid["f32_corr_vs_f64"] = _corr_stats(parity[2], params,
                                                      parity[0])
-                prod_s = fid["production_corr_vs_f64"]
-                f32_s = fid["f32_corr_vs_f64"]
-                fid["parity_class"] = bool(
-                    prod_s["catdog"] >= 0.999
-                    and (1.0 - prod_s["mean"])
-                    <= 2.0 * (1.0 - f32_s["mean"]))
+            # parity_class is decided by the guarded stage below
+            # (guarded_strict.min >= 0.999)
             out["fidelity"] = fid
         except Exception as e:
             print(f"# fidelity stage failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
 
-    # production-guarded preset (BENCH_GUARDED=0 skips): the trust-region
-    # detector + exact-CPU fallback pipeline. Measures (a) min corr vs f64
-    # truth over the stress set — the guarantee (flagged randn samples are
-    # recomputed in exact f32 on the host CPU; unflagged real-image samples
-    # are production's own >=0.999 regime), and (b) the detector's cost on
-    # a realistic (non-chaos) batch at matched batch size.
+    # production-guarded presets (BENCH_GUARDED=0 skips). Two Pareto points
+    # (PERF.md round 4a — no cheaper guarantee exists in the measured
+    # design space):
+    #   strict   — production + f32 cross-check, exact-CPU fallback on
+    #              disagreement: min_corr >= 0.999 on the stress set (the
+    #              guarantee; measures ~3.7x + fallbacks);
+    #   envelope — free trust-region diagnostics: catches the
+    #              out-of-distribution stress regime at ~0 cost (the <=10%
+    #              option; cannot see in-envelope lottery samples).
     if (os.environ.get("BENCH_GUARDED", "1") != "0"
             and os.path.isfile(TRUTH_PATH)):
         try:
             import jax
             import jax.numpy as jnp
             from transformer_explainability_tpu.explain.generator import (
-                make_guarded_explain_fn, make_explain_fn, GUARDED_DEFAULTS)
+                make_guarded_explain_fn, make_explain_fn, STRICT_AGREEMENT)
             Bg = int(os.environ.get("BENCH_GUARDED_BATCH", "32"))
-            guard = make_guarded_explain_fn(cfg, return_info=True)
             d = np.load(TRUTH_PATH)
             imgs, idx, truth = d["imgs"], d["idx"], d["truth"]
             n = len(imgs)
@@ -372,24 +380,37 @@ def main():
             idx_p = np.concatenate([idx, np.zeros((pad,), idx.dtype)]) \
                 if pad > 0 else idx[:Bg]
             n_eff = min(n, Bg)
-            heat, info = guard(params, jnp.asarray(imgs_p),
-                               jnp.asarray(idx_p), n_valid=n_eff)
-            corrs = []
-            for i in range(n_eff):
-                a = heat[i].ravel().astype(np.float64)
-                b = truth[i].ravel()
-                a, b = a - a.mean(), b - b.mean()
-                corrs.append(float(a @ b / np.sqrt((a @ a) * (b @ b))))
-            corrs = np.asarray(corrs)
-            g = {"stat": GUARDED_DEFAULTS["stat"],
-                 "threshold": GUARDED_DEFAULTS["threshold"],
+
+            def corr_stats(heat):
+                corrs = []
+                for i in range(n_eff):
+                    a = heat[i].ravel().astype(np.float64)
+                    b = truth[i].ravel()
+                    a, b = a - a.mean(), b - b.mean()
+                    corrs.append(float(a @ b / np.sqrt((a @ a) * (b @ b))))
+                return np.asarray(corrs)
+
+            strict = make_guarded_explain_fn(cfg, mode="strict",
+                                             return_info=True)
+            heat, info = strict(params, jnp.asarray(imgs_p),
+                                jnp.asarray(idx_p), n_valid=n_eff)
+            corrs = corr_stats(heat)
+            g = {"mode": "strict", "agreement": STRICT_AGREEMENT,
                  "min": round(float(corrs.min()), 5),
                  "mean": round(float(corrs.mean()), 5),
                  "catdog": round(float(corrs[n_eff - 1]), 5),
                  "flagged": int(info["flagged"].sum()), "n": n_eff}
-            # realistic batch: catdog + mild photometric noise — detector
-            # cost with zero fallbacks, vs the plain production program at
-            # the SAME batch size, interleaved
+            out["min_corr"] = g["min"]
+            fid_out = out.setdefault("fidelity", {})
+            fid_out["guarded_strict"] = g
+            fid_out["parity_class"] = bool(g["min"] >= 0.999)
+
+            # envelope mode: flag counts on stress vs a realistic batch +
+            # its overhead vs plain production at the same batch size
+            env = make_guarded_explain_fn(cfg, mode="envelope",
+                                          return_info=True)
+            _, einfo = env(params, jnp.asarray(imgs_p), jnp.asarray(idx_p),
+                           n_valid=n_eff)
             rngl = np.random.RandomState(7)
             cat = imgs[-1]
             reals = np.stack([
@@ -404,27 +425,27 @@ def main():
                 relprop_precision=relprop_precision,
                 attn_precision=attn_precision, mlp_precision=mlp_precision)
 
-            def guarded_once():
-                h, i2 = guard(params, rimgs, ridx)
+            def env_once():
+                h, i2 = env(params, rimgs, ridx)
                 return int(i2["flagged"].sum())
-            flags_real = guarded_once()          # warm-up + flag count
+            flags_real = env_once()              # warm-up + flag count
             np.asarray(plain32(params, rimgs, ridx))
             reps = int(os.environ.get("BENCH_REPS", "5"))
             gr, pr = [], []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                guarded_once()
+                env_once()
                 gr.append(Bg / (time.perf_counter() - t0))
                 t0 = time.perf_counter()
                 np.asarray(plain32(params, rimgs, ridx))
                 pr.append(Bg / (time.perf_counter() - t0))
-            g["realistic_flagged"] = flags_real
-            g["realistic_rate"] = round(float(np.median(gr)), 2)
-            g["production_rate_same_batch"] = round(float(np.median(pr)), 2)
-            g["overhead_pct"] = round(
-                100.0 * (np.median(pr) / np.median(gr) - 1.0), 2)
-            out["min_corr"] = g["min"]
-            out.setdefault("fidelity", {})["guarded"] = g
+            fid_out["guarded_envelope"] = {
+                "stress_flagged": int(einfo["flagged"].sum()), "n": n_eff,
+                "realistic_flagged": flags_real,
+                "realistic_rate": round(float(np.median(gr)), 2),
+                "production_rate_same_batch": round(float(np.median(pr)), 2),
+                "overhead_pct": round(
+                    100.0 * (np.median(pr) / np.median(gr) - 1.0), 2)}
         except Exception as e:
             print(f"# guarded stage failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)

@@ -1,6 +1,8 @@
-"""Guarded production mode: diagnostics emission + chaos-detector wiring +
-CPU-fallback splicing (the TPU-side fidelity numbers live in PERF.md round 4
-and bench.py's fidelity block; here the machinery is proven on CPU)."""
+"""Guarded production mode: diagnostics emission, strict cross-check +
+envelope detectors, and CPU-fallback splicing (the TPU-side fidelity
+numbers live in PERF.md round 4 and bench.py's fidelity block; here the
+machinery is proven on CPU, where production == exact f32 so the strict
+verifier agrees bit-wise)."""
 import dataclasses
 
 import numpy as np
@@ -11,7 +13,8 @@ import jax.numpy as jnp
 from transformer_explainability_tpu.models.vit import (
     VIT_BASE_16_224, init_params)
 from transformer_explainability_tpu.explain.generator import (
-    make_explain_fn, make_guarded_explain_fn, DIAG_FIELDS, CHAOS_STATS)
+    make_explain_fn, make_guarded_explain_fn, calibrate_envelope,
+    DIAG_FIELDS, CHAOS_STATS, ENVELOPE_BOUNDS)
 
 CFG = dataclasses.replace(VIT_BASE_16_224, img_size=32, embed_dim=64,
                           depth=3, num_heads=4, num_classes=10)
@@ -54,37 +57,68 @@ def test_diagnostics_rejected_off_method(setup):
         fn(*setup)
 
 
-def test_guarded_no_flags_matches_production(setup):
+def test_guarded_strict_cpu_agrees_no_flags(setup):
+    """On CPU the production program IS exact f32, so the strict verifier
+    agrees per-sample and nothing is flagged; output == production."""
     params, imgs, idx = setup
     plain = make_explain_fn(CFG, "transformer_attribution")
-    guarded = make_guarded_explain_fn(CFG, threshold=np.inf,
-                                      return_info=True)
+    guarded = make_guarded_explain_fn(CFG, mode="strict", return_info=True)
     heat, info = guarded(params, imgs, idx)
     assert not info["flagged"].any()
-    np.testing.assert_array_equal(heat, np.asarray(plain(params, imgs, idx)))
+    assert (info["score"] > 0.9999).all()
+    np.testing.assert_allclose(
+        heat, np.asarray(plain(params, imgs, idx)), rtol=1e-5, atol=1e-7)
 
 
 @pytest.mark.slow
-def test_guarded_flag_all_splices_cpu_fallback(setup):
-    """threshold=-1 flags every sample; the result must equal the exact-f32
-    CPU program per sample (the guarantee path), not the production one."""
+def test_guarded_strict_flag_all_splices_cpu_fallback(setup):
+    """agreement=2.0 flags every sample; the result must equal the exact-f32
+    CPU program per sample (the guarantee path)."""
     params, imgs, idx = setup
-    guarded = make_guarded_explain_fn(CFG, threshold=-1.0, return_info=True)
+    guarded = make_guarded_explain_fn(CFG, mode="strict", agreement=2.0,
+                                      return_info=True)
     heat, info = guarded(params, imgs, idx)
     assert info["flagged"].all()
     assert info["score"].shape == (4,)
     exact = make_explain_fn(CFG, "transformer_attribution",
                             matmul_precision="float32")
     want = np.asarray(exact(params, imgs, idx))
-    # both run exact f32 on CPU here; argmax sentinel (-1) must resolve
-    # identically through the fallback path too
     np.testing.assert_allclose(heat, want, rtol=1e-5, atol=1e-7)
 
 
-def test_guarded_requires_threshold():
-    from transformer_explainability_tpu.explain import generator as G
-    if G.GUARDED_DEFAULTS["threshold"] is None:
-        with pytest.raises(ValueError):
-            make_guarded_explain_fn(CFG)
-    else:
-        assert G.GUARDED_DEFAULTS["stat"] in CHAOS_STATS
+def test_guarded_strict_n_valid_skips_pad_rows(setup):
+    params, imgs, idx = setup
+    guarded = make_guarded_explain_fn(CFG, mode="strict", agreement=2.0,
+                                      return_info=True)
+    heat, info = guarded(params, imgs, idx, n_valid=2)
+    assert info["flagged"][:2].all() and not info["flagged"][2:].any()
+
+
+def test_guarded_envelope_calibration(setup):
+    """Envelope mode: bounds calibrated on the batch itself flag nothing;
+    impossible bounds flag everything and splice the CPU fallback."""
+    params, imgs, idx = setup
+    diag_fn = make_explain_fn(CFG, "transformer_attribution",
+                              with_diagnostics=True)
+    _, diag = diag_fn(params, imgs, idx)
+    bounds = calibrate_envelope(np.asarray(diag), margin=1.5)
+    assert set(bounds) == set(DIAG_FIELDS)
+    g = make_guarded_explain_fn(CFG, mode="envelope",
+                                envelope_bounds=bounds, return_info=True)
+    heat, info = g(params, imgs, idx)
+    assert not info["flagged"].any()
+    tight = {f: (np.inf, -np.inf) for f in DIAG_FIELDS}
+    g2 = make_guarded_explain_fn(CFG, mode="envelope",
+                                 envelope_bounds=tight, return_info=True)
+    heat2, info2 = g2(params, imgs, idx)
+    assert info2["flagged"].all()
+    exact = make_explain_fn(CFG, "transformer_attribution",
+                            matmul_precision="float32")
+    np.testing.assert_allclose(heat2, np.asarray(exact(params, imgs, idx)),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_guarded_bad_mode_raises():
+    with pytest.raises(ValueError):
+        make_guarded_explain_fn(CFG, mode="nope")
+    assert set(ENVELOPE_BOUNDS) == set(DIAG_FIELDS)

@@ -378,13 +378,15 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
 
 
 # ---------------------------------------------------------------------------
-# Guarded production mode: chaos detection + exact-CPU fallback
+# Guarded production mode: verified serving with an exact-CPU fallback
 # ---------------------------------------------------------------------------
 
 # Chaos-score functions over the DIAG_FIELDS vector (host-side numpy;
-# larger = more suspicious). Selected empirically against exact-CPU truth
-# labels on 145 stress + 16 realistic samples — experiments/
-# guarded_detector.py; see PERF.md round 4 for the measured separation.
+# larger = more suspicious). Measured against exact truth labels on 161
+# samples (experiments/guarded_{detector,stats_cpu}.py): NONE of them —
+# nor an exact-f32 1e-5 input-sensitivity oracle — separates the
+# sub-0.999 band within an input class; kept for the ENVELOPE detector
+# (out-of-distribution regime detection) and for analysis.
 CHAOS_STATS = {
     "r_drift": lambda d: np.abs(d[:, 0] - 1.0),
     "r_l1": lambda d: d[:, 1],
@@ -399,77 +401,143 @@ CHAOS_STATS = {
     "R_l1max": lambda d: d[:, 9],
 }
 
-# Defaults installed from the tuning experiments (PERF.md round 4,
-# experiments/guarded_detector.py on 161 TPU-labeled samples): g_growth —
-# the cross-block gradient-magnitude growth ratio — is the one
-# single-realization statistic with a measured GAP between the
-# ill-conditioned stress regime (zero false negatives: every stress sample
-# below corr 0.999 vs f64 truth sits at >= 29.3) and real-image inputs
-# (all <= 24.8, zero flagged). Threshold = 27, the midpoint. Overridable
-# per call.
-GUARDED_DEFAULTS = {"stat": "g_growth", "threshold": 27.0}
+# Trust-region envelope for the "envelope" mode: per-DIAG_FIELD [lo, hi]
+# bounds calibrated on a DIVERSE real-image augment population (96 catdog
+# variants: flips/shifts/blur/contrast/brightness/tint/noise, seed-0
+# weights, TPU-measured, x1.3 margin —
+# experiments/guarded_envelope_calib.py, committed diag matrix in
+# experiments/data/guarded_envelope_calib_diag.npy). A sample with ANY
+# statistic outside its bound is outside the validated envelope. On the
+# labeled tuning data these bounds flag 144/145 randn-stress samples and
+# 0/16 real images; the one miss is catdog itself — by construction a
+# real-image-class sample cannot leave the real-image envelope (the
+# strict mode exists for that). Diagnostics cost ~10% pipelined at B=32
+# (measured). Recalibrate per deployment with :func:`calibrate_envelope`
+# on known-good traffic.
+ENVELOPE_BOUNDS = {
+    "r_sum": (0.597854, 1.34563),
+    "r_l1": (1.13319, 65.1951),
+    "gc_l1max": (5.45804e-05, 0.0134388),
+    "gc_max": (4.27658e-07, 0.00015762),
+    "heat_l1": (0.000156718, 0.0140936),
+    "heat_max": (1.0612e-06, 0.000160642),
+    "g_growth": (3.49377, 29.2821),
+    "g_l1max": (71.3786, 802.741),
+    "R_growth": (1.14703, 129.423),
+    "R_l1max": (1.1677, 351.321),
+}
+
+# Strict-mode agreement threshold: flag a sample when the production and
+# f32-HIGHEST programs' heatmaps correlate below this. Tuned zero-FN on
+# 161 TPU-measured samples: at 0.9999 no sample below truth-corr 0.999
+# passes, and every passing sample measured truth-corr >= 0.99990
+# (experiments/guarded_crosscheck.py; the common-mode failure — both
+# programs agreeing while both wrong — was not observed above 0.9989 even
+# at the looser 0.9995 threshold).
+STRICT_AGREEMENT = 0.9999
+
+
+def calibrate_envelope(diag: np.ndarray, margin: float = 1.3) -> dict:
+    """Compute per-statistic trust-region bounds from the diagnostics of a
+    calibration batch of KNOWN-GOOD traffic (run the with_diagnostics
+    program on representative inputs and pass the (N, len(DIAG_FIELDS))
+    matrix). ``margin`` widens each bound multiplicatively."""
+    diag = np.asarray(diag, np.float64)
+    out = {}
+    for k, f in enumerate(DIAG_FIELDS):
+        lo, hi = float(diag[:, k].min()), float(diag[:, k].max())
+        out[f] = (lo - (margin - 1.0) * abs(lo),
+                  hi + (margin - 1.0) * abs(hi))
+    return out
+
+
+def _envelope_flags(diag: np.ndarray, bounds: dict) -> np.ndarray:
+    diag = np.asarray(diag, np.float64)
+    flagged = np.zeros(diag.shape[0], bool)
+    for k, f in enumerate(DIAG_FIELDS):
+        lo, hi = bounds[f]
+        flagged |= (diag[:, k] < lo) | (diag[:, k] > hi)
+    return flagged
+
+
+def _batch_corr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = a.reshape(a.shape[0], -1).astype(np.float64)
+    b = b.reshape(b.shape[0], -1).astype(np.float64)
+    a = a - a.mean(axis=1, keepdims=True)
+    b = b - b.mean(axis=1, keepdims=True)
+    num = (a * b).sum(axis=1)
+    den = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1))
+    return num / np.maximum(den, 1e-300)
 
 
 def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
-                            stat: Optional[str] = None,
-                            threshold: Optional[float] = None,
+                            mode: str = "strict",
+                            agreement: Optional[float] = None,
+                            envelope_bounds: Optional[dict] = None,
                             fallback_precision: str = "float32",
                             return_info: bool = False,
                             **precision_overrides):
-    """The ``production-guarded`` preset: production-mode throughput with a
-    per-sample numerical-stability guarantee.
+    """The ``production-guarded`` preset: production-mode serving with a
+    per-sample numerical-fidelity guarantee and an exact-f32 CPU fallback.
 
-    The production mixed-precision program (tf32 + f32 attention island +
-    bf16 rules/MLP) matches exact truth >=0.999 on real images, but on
-    ill-conditioned stress samples (random weights x random inputs) the
-    TPU MXU's bf16xN f32 emulation can amplify ulp-level error through the
-    12-layer LRP safe-divide chain (worst observed corr 0.88 — PERF.md
-    rounds 2b-3d). This wrapper:
+    Why it exists (PERF.md round 4a — measured, not assumed): with
+    backend-deterministic weights the production program's per-sample corr
+    vs f64 truth on RANDOM weights is a heavy-tailed lottery on EVERY
+    input class (~40-50% of samples land in the 0.99-0.999 band; rare deep
+    flips reach 0.04 — the catdog acceptance image itself draws 0.616 with
+    seed-0 weights), and NO single-realization statistic separates the
+    tail (11 statistics + an exact-f32 input-sensitivity oracle, all
+    measured non-separating). Exact f32 does not exist on the TPU MXU, so
+    the guarantee requires either a second TPU realization or the host
+    CPU. Two modes, the measured Pareto points:
 
-      1. runs the production program WITH diagnostics (free: a handful of
-         reductions over tensors the scans already carry);
-      2. computes a trust-region score per sample host-side (``stat`` over
-         :data:`DIAG_FIELDS`; default ``g_growth``, the cross-block
-         gradient-magnitude growth ratio). On 161 TPU-labeled samples the
-         threshold separates the stress regime with ZERO false negatives
-         (every sample below corr 0.999 vs f64 truth scores >= 29.3)
-         from real-image inputs (all <= 24.8, none flagged);
-      3. re-runs only flagged samples with exact f32 arithmetic on the
-         host CPU (the valid f32-class anchor: CPU orderings match f64
-         truth >=0.9997 per-sample — PERF.md round 3d) and splices the
-         results.
+      * ``mode="strict"`` (default — the guarantee): run the production
+        AND the f32-HIGHEST programs; a sample whose two heatmaps
+        correlate below ``agreement`` (default
+        :data:`STRICT_AGREEMENT` = 0.9999) is re-run in exact f32 on the
+        host CPU (matches f64 truth >= 0.9997 per-sample). Zero false
+        negatives on 161 TPU-measured samples; every passing sample
+        measured truth-corr >= 0.99990. Cost: the f32 co-run (~3.7x the
+        production time per batch) plus ~2.1 s/flagged-sample on CPU —
+        the measured floor for a true >= 0.999 guarantee on arbitrary
+        inputs; nothing cheaper exists in the measured design space.
+      * ``mode="envelope"`` (fast — OOD detection only): run production
+        with free diagnostics; flag samples whose statistics leave the
+        calibrated trust region (:data:`ENVELOPE_BOUNDS`, or recalibrate
+        with :func:`calibrate_envelope`). Catches the ill-conditioned
+        stress regime wholesale (144/145 randn samples, 0/16 real images
+        flagged) at ~0 cost, but CANNOT see in-envelope failures — on
+        random weights, real-image-class inputs keep their lottery tail.
+        Use for serving trained checkpoints where the envelope is
+        calibrated on known-good traffic.
 
-    Flag rate is ~0 on real images (measured 0/16 on the realistic set),
-    so steady-state throughput is production's; on adversarial stress
-    mixes the CPU fallback bounds the worst case instead of the MXU
-    emulation. Honest residual (PERF.md round 4): real-image-CLASS inputs
-    on RANDOM weights can sit in the 0.99-0.999 band undetected — that
-    band is below every measured single-realization statistic's floor
-    (11 statistics + a 1e-5 input-sensitivity oracle all fail to separate
-    it); catching it needs a second realization (>=47% throughput) or the
-    saturated attention of trained checkpoints. Returns
-    ``fn(params, images, indices, n_valid=None) -> heatmaps`` (numpy;
-    host-side splicing), or with ``return_info=True`` ->
-    ``(heatmaps, info)`` where ``info = {"flagged": bool (B,), "score":
-    float (B,)}``.
+    Returns ``fn(params, images, indices, n_valid=None) -> heatmaps``
+    (numpy; host-side splicing; ``n_valid`` limits fallbacks to the first
+    n rows when the batch is shape-padded), or with ``return_info=True``
+    -> ``(heatmaps, info)`` where ``info = {"flagged": bool (B,),
+    "score": float (B,)}`` (score = prod-vs-f32 corr in strict mode, max
+    envelope violation count in envelope mode).
 
-    ``precision_overrides``: any :func:`make_explain_fn` precision kwarg,
-    defaulting to the production preset.
+    ``precision_overrides``: any :func:`make_explain_fn` precision kwarg
+    for the production program, defaulting to the production preset.
     """
-    import jax.numpy as jnp  # noqa: F401  (kept local pattern)
-
-    stat = stat or GUARDED_DEFAULTS["stat"]
-    if threshold is None:
-        threshold = GUARDED_DEFAULTS["threshold"]
-    if threshold is None:
-        raise ValueError("no tuned default threshold available — pass "
-                         "threshold= explicitly")
-    score_fn = CHAOS_STATS[stat]
+    if mode not in ("strict", "envelope"):
+        raise ValueError(f"unknown guarded mode {mode!r}")
     kwargs = dict(PRECISION_PRESETS["production"])
     kwargs.update(precision_overrides)
-    fast = make_explain_fn(cfg, "transformer_attribution",
-                           start_layer=start_layer, with_diagnostics=True,
-                           **kwargs)
+    if mode == "strict":
+        if agreement is None:
+            agreement = STRICT_AGREEMENT
+        fast = make_explain_fn(cfg, "transformer_attribution",
+                               start_layer=start_layer, **kwargs)
+        verify = make_explain_fn(cfg, "transformer_attribution",
+                                 start_layer=start_layer,
+                                 matmul_precision="float32")
+    else:
+        bounds = dict(envelope_bounds or ENVELOPE_BOUNDS)
+        fast = make_explain_fn(cfg, "transformer_attribution",
+                               start_layer=start_layer,
+                               with_diagnostics=True, **kwargs)
 
     cpu_state = {}        # params-id -> CPU copy; plus the compiled fallback
 
@@ -502,10 +570,17 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
     def guarded(params, images, indices, n_valid: Optional[int] = None):
         """``n_valid``: only the first n samples are real (the rest are
         shape padding) — fallbacks are skipped for pad rows."""
-        heat, diag = fast(params, images, indices)
-        heat = np.array(heat)
-        score = score_fn(np.asarray(diag, np.float64))
-        flagged = score >= threshold
+        if mode == "strict":
+            heat = np.array(fast(params, images, indices))
+            hver = np.asarray(verify(params, images, indices))
+            score = _batch_corr(heat, hver)
+            flagged = score < agreement
+        else:
+            heat, diag = fast(params, images, indices)
+            heat = np.array(heat)
+            score = np.asarray(diag, np.float64)
+            flagged = _envelope_flags(score, bounds)
+            score = score[:, 6]          # g_growth, for info readability
         if n_valid is not None:
             flagged = flagged & (np.arange(len(flagged)) < n_valid)
         for i in np.nonzero(flagged)[0]:

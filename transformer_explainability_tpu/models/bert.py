@@ -76,7 +76,20 @@ def _act(x: Array, name: str) -> Array:
 
 
 def init_params(key: jax.Array, cfg: BertConfig, dtype=jnp.float32) -> Params:
-    """Random init (normal 0.02, the BERT initializer_range default)."""
+    """Random init (normal 0.02, the BERT initializer_range default).
+
+    BACKEND-DETERMINISTIC: computed on the host CPU then transferred —
+    same seed must mean the same model on every backend (the normal
+    transform's transcendentals differ by ulps across lowerings; see
+    vit.init_params)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = _init_params_impl(key, cfg, dtype)
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params, jax.devices()[0])
+    return params
+
+
+def _init_params_impl(key: jax.Array, cfg: BertConfig, dtype) -> Params:
     ks = jax.random.split(key, 12)
     D, L, I = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
 

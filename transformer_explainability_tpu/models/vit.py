@@ -125,7 +125,25 @@ def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
 def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
     """Random init mirroring the reference's ``_init_weights``
     (ViT_LRP.py:292-299): trunc-normal(0.02) linear weights, zero biases,
-    unit/zero LayerNorm."""
+    unit/zero LayerNorm.
+
+    BACKEND-DETERMINISTIC: the init computation is pinned to the host CPU
+    (then transferred to the caller's default device). The trunc-normal
+    transcendentals differ by ~7e-7 between TPU and CPU lowerings, so
+    without the pin "PRNGKey(0) weights" were a different model per
+    backend — and the explain chain is knife-edge to ulp-scale weight
+    perturbations on ill-conditioned samples, which silently contaminated
+    every TPU-vs-CPU-truth fidelity comparison (found round 4: the
+    guarded mode's exact-CPU fallback scored 0.89 against truth because
+    it was answering for different weights)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = _init_params_impl(key, cfg, dtype)
+    if jax.default_backend() != "cpu":
+        params = jax.device_put(params, jax.devices()[0])
+    return params
+
+
+def _init_params_impl(key: jax.Array, cfg: ViTConfig, dtype) -> Params:
     ks = jax.random.split(key, 16)
     D, L, M, C = cfg.embed_dim, cfg.depth, cfg.mlp_dim, cfg.num_classes
     P = cfg.patch_size
