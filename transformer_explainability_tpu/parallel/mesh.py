@@ -14,9 +14,10 @@ first-class instead of porting that:
     communication (the "How to Scale Your Model" recipe: pick a mesh, annotate
     shardings, let XLA place collectives).
 
-Pipeline/sequence/expert parallelism are intentionally absent: ViT-B/BERT-base
-at <=577 tokens has nothing for them to do (SURVEY §2.9, §5.7); the mesh API
-below accepts extra axes so they can be added as an axis-name change later.
+Sequence parallelism lives in :mod:`.sequence` (token axis over ``model``)
+and pipeline parallelism in :mod:`.pipeline` (block stack over a ``stage``
+axis, GPipe-on-a-ring). Expert parallelism is intentionally absent — no MoE
+exists anywhere in this model family (SURVEY §2.9, §5.7).
 """
 
 from __future__ import annotations
