@@ -61,6 +61,16 @@ def _rate_once(fn, args, B, n_iter):
     return B * n_iter / (time.perf_counter() - t0)
 
 
+def _n_iter(B):
+    """Batches per timing window. Steady-state throughput needs the window
+    long enough to amortize pipeline fill/drain: at B=104 the old 2-batch
+    window measured 479 expl/s where the sustained rate is 520 (n_iter
+    2/4/8/16 -> 479/502/516/520, tight spreads —
+    experiments/perf_pipeline_depth.py, PERF.md round 4d). 16 batches keeps
+    every config's window in the 1-12 s range."""
+    return max(2, int(os.environ.get("BENCH_WINDOW_BATCHES", "16")))
+
+
 def _time_fn(fn, params, imgs, idx, B, reps=None):
     """Median of ``reps`` timing reps in ONE process. Sequential
     cross-process measurements drift with relay conditions by up to ~35%
@@ -68,7 +78,7 @@ def _time_fn(fn, params, imgs, idx, B, reps=None):
     being relay weather."""
     np.asarray(fn(params, imgs, idx))  # warm-up + compile
     reps = reps or int(os.environ.get("BENCH_REPS", "5"))
-    n_iter = max(2, int(np.ceil(128 / B)))
+    n_iter = _n_iter(B)
     rates = [_rate_once(fn, (params, imgs, idx), B, n_iter)
              for _ in range(reps)]
     return float(np.median(rates))
@@ -85,7 +95,7 @@ def _interleave_rates(entries, reps=None):
         _rate_once(fn, args, B, 2)                # the first rep after a
     for _ in range(reps):                         # program switch dips ~30%
         for name, (fn, args, B) in entries.items():
-            n_iter = max(2, int(np.ceil(128 / B)))
+            n_iter = _n_iter(B)
             rates[name].append(_rate_once(fn, args, B, n_iter))
     return {name: {"value": round(float(np.median(r)), 2),
                    "spread": [round(float(min(r)), 2),
@@ -425,16 +435,19 @@ def main():
                 relprop_precision=relprop_precision,
                 attn_precision=attn_precision, mlp_precision=mlp_precision)
 
-            def env_once():
-                h, i2 = env(params, rimgs, ridx)
-                return int(i2["flagged"].sum())
-            flags_real = env_once()              # warm-up + flag count
+            h_warm, rinfo = env(params, rimgs, ridx)     # warm-up + flags
+            flags_real = int(rinfo["flagged"].sum())
             np.asarray(plain32(params, rimgs, ridx))
             reps = int(os.environ.get("BENCH_REPS", "5"))
+            # rate = the envelope's OWN cost (diagnostics program + flag
+            # check; n_valid=0 skips fallbacks) — a flagged sample
+            # additionally pays the ~2.1 s exact-CPU fallback, so the
+            # effective rate is flag-rate-dependent and reported via
+            # realistic_flagged rather than folded into one number
             gr, pr = [], []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                env_once()
+                env(params, rimgs, ridx, n_valid=0)
                 gr.append(Bg / (time.perf_counter() - t0))
                 t0 = time.perf_counter()
                 np.asarray(plain32(params, rimgs, ridx))
@@ -442,9 +455,10 @@ def main():
             fid_out["guarded_envelope"] = {
                 "stress_flagged": int(einfo["flagged"].sum()), "n": n_eff,
                 "realistic_flagged": flags_real,
-                "realistic_rate": round(float(np.median(gr)), 2),
+                "realistic_n": Bg,
+                "diag_rate": round(float(np.median(gr)), 2),
                 "production_rate_same_batch": round(float(np.median(pr)), 2),
-                "overhead_pct": round(
+                "diag_overhead_pct": round(
                     100.0 * (np.median(pr) / np.median(gr) - 1.0), 2)}
         except Exception as e:
             print(f"# guarded stage failed: {type(e).__name__}: "
