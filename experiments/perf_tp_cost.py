@@ -56,10 +56,15 @@ def main():
     fn2 = make_sharded_explain_fn(cfg, mesh, **PROD)
     entries["dp1-shardmap(megakernels)"] = (fn2, (sp, imgs, idx))
     tpp = tp_reshuffle_params(params, 1)
-    fn3 = make_tp_explain_fn(cfg, mesh,
-                             matmul_precision=PROD["matmul_precision"],
-                             attn_precision=PROD["attn_precision"])
+    fn3 = make_tp_explain_fn(cfg, mesh, **PROD)
     entries["tp1(attn-cores+XLA-MLP)"] = (fn3, (tpp, imgs, idx))
+    # the round-4b measurement ran the TP program WITHOUT the rule/MLP
+    # precision islands (ambient tf32 on every rule + MLP dot where the
+    # megakernels run bf16) — keep that variant for the before/after
+    fn3_old = make_tp_explain_fn(cfg, mesh,
+                                 matmul_precision=PROD["matmul_precision"],
+                                 attn_precision=PROD["attn_precision"])
+    entries["tp1-no-islands(r4b)"] = (fn3_old, (tpp, imgs, idx))
 
     for name, (fn, a) in entries.items():
         t0 = time.perf_counter()

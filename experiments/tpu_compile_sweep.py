@@ -193,6 +193,22 @@ def run_sharded(results):
     except Exception as e:
         _record(results, key, {"ok": False, "err": str(e)[:300]})
 
+    # the full production island set (bf16 rules/MLP + f32 attention): a
+    # DIFFERENT attention-core kernel instantiation (rule_mxu=bf16) than the
+    # no-island variant — both must compile on hardware
+    key = "vit_b/tp1-kernels/prod-islands/B8"
+    t0 = time.perf_counter()
+    try:
+        mesh = make_mesh(n_data=1, n_model=1)
+        tpp = tp_reshuffle_params(params, 1)
+        fn = make_tp_explain_fn(cfg, mesh, **prod)
+        out = np.asarray(fn(tpp, imgs, idx))
+        _record(results, key, {"ok": bool(np.isfinite(out).all()),
+                               "compile_s":
+                               round(time.perf_counter() - t0, 1)})
+    except Exception as e:
+        _record(results, key, {"ok": False, "err": str(e)[:300]})
+
     key = "vit_b/tp1-kernels/B8"
     t0 = time.perf_counter()
     try:

@@ -76,3 +76,34 @@ def test_mesh_routes_tp_to_kernel_path(setup):
     fn = make_sharded_explain_fn(CFG, mesh)
     got = np.asarray(fn(params, imgs, idx))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_tp_precision_islands_thread_through(setup):
+    """The production precision islands (bf16 rules/MLP, f32 attention)
+    must build and stay numerically exact on CPU (where every MXU
+    'precision' is exact f32 — the knobs select TPU pass counts only)."""
+    params, imgs, idx, want = setup
+    mesh = make_mesh(n_data=2, n_model=2)
+    fn = make_tp_explain_fn(CFG, mesh,
+                            matmul_precision="tensorfloat32",
+                            attn_precision="float32",
+                            relprop_precision="bfloat16",
+                            mlp_precision="bfloat16")
+    got = np.asarray(fn(params, imgs, idx))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_mesh_forwards_island_knobs_to_tp(setup):
+    """make_sharded_explain_fn must not drop relprop/mlp precision when
+    routing to the TP program (the round-4 cliff's silent half)."""
+    params, imgs, idx, want = setup
+    from transformer_explainability_tpu.parallel.mesh import (
+        make_sharded_explain_fn)
+    mesh = make_mesh(n_data=2, n_model=2)
+    fn = make_sharded_explain_fn(CFG, mesh,
+                                 matmul_precision="tensorfloat32",
+                                 attn_precision="float32",
+                                 relprop_precision="bfloat16",
+                                 mlp_precision="bfloat16")
+    got = np.asarray(fn(params, imgs, idx))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)

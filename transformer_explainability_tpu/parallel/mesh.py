@@ -143,7 +143,9 @@ def make_sharded_explain_fn(cfg: ViTConfig, mesh: Mesh,
         return make_tp_explain_fn(
             cfg, mesh, method=method, start_layer=start_layer, alpha=alpha,
             variant=variant, matmul_precision=matmul_precision,
-            attn_precision=attn_precision)
+            attn_precision=attn_precision,
+            relprop_precision=relprop_precision,
+            mlp_precision=mlp_precision)
 
     def single(params, img, index):
         with jax.default_matmul_precision(matmul_precision):

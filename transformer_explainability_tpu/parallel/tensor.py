@@ -30,13 +30,19 @@ the attention cores (the layout-bound part XLA handles worst) are the part
 worth keeping under TP.
 
 MEASURED COST (round 4, real chip, B=32, production precision,
-experiments/perf_tp_cost.py): this program runs at 38% of the
-single-device megakernel rate per device (179.8 vs 467.4 expl/s at
-n_model=1, trivial psums — the loss is the dropped megakernels, not
-communication). TP is for models that don't fit a chip; for throughput,
-scale out with dp (its shard_map wrapper measures free). BERT TP is
-intentionally absent: BERT-base fits one chip, dp covers serving, SP
-covers long context (docs/PARALLELISM.md).
+experiments/perf_tp_cost.py): **64% of the single-device megakernel rate
+per device** (294.3 vs 460.6 expl/s at n_model=1, trivial psums). The
+first measurement read 40% (186.5) — more than half of that cliff was a
+silent precision mismatch, not structure: the TP program had no
+relprop/mlp precision islands, so every rule and MLP dot paid the
+ambient 3-pass tf32 (and the attention core's in-kernel rule dots paid
+6-pass f32) where the megakernels run 1-pass bf16. With the islands
+threaded (this module + mesh.make_sharded_explain_fn), the remaining
+36% is the structural loss of the whole-block megakernels. TP is for
+models that don't fit a chip; for throughput, scale out with dp (its
+shard_map wrapper measures free: 462.6). BERT TP is intentionally
+absent: BERT-base fits one chip, dp covers serving, SP covers long
+context (docs/PARALLELISM.md).
 
 Reference being distributed: ``ViT_LRP.py`` relprop (:154-177, :203-213) —
 the reference itself has no live parallelism (SURVEY §2.9).
@@ -133,6 +139,8 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
                        variant: str = "ours",
                        matmul_precision: str = "float32",
                        attn_precision: Optional[str] = None,
+                       relprop_precision: Optional[str] = None,
+                       mlp_precision: Optional[str] = None,
                        data_axis: str = "data", model_axis: str = "model",
                        pre_sharded: bool = False):
     """Jitted TP explain ``fn(params, images, indices) -> (B, num_patches)``.
@@ -141,6 +149,13 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
     column reshuffle runs inside the program (one traced transpose — fine
     for tests/occasional calls). Production callers should pre-place with
     :func:`shard_tp_params` and pass ``pre_sharded=True``.
+
+    ``relprop_precision``/``mlp_precision`` mirror the single-device islands
+    (PERF.md: the LRP rule dots tolerate 1-pass bf16; the fc1/fc2 fwd/bwd
+    dots sit outside the attention-gradient chain and tolerate bf16 too) —
+    without them the TP program paid the ambient 3-pass tf32 on every rule
+    and MLP dot the production megakernels run at bf16, a large share of
+    the round-4b 38%-of-single-device cliff.
 
     Constraints: the kernel-compatible config only (variant="ours", α=1,
     method="transformer_attribution"), num_heads and mlp_dim divisible by
@@ -154,6 +169,13 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
     h_loc = h // k
     eps = cfg.block_ln_eps
     attn_mxu = vit_mod._mxu_name(attn_precision, matmul_precision)
+    rule_mxu = vit_mod._mxu_name(relprop_precision, matmul_precision)
+    import contextlib
+
+    def _ctx(p):
+        return (jax.default_matmul_precision(p) if p is not None
+                else contextlib.nullcontext())
+
     n = cfg.num_tokens
 
     def per_example(params, img, index):
@@ -171,10 +193,11 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
                                     model_axis) + bp["proj"]["bias"]
             x_mid = x + attn_out
             xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
-            h1_l = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
-            hg_l = jax.nn.gelu(h1_l, approximate=False)
-            mlp_out = jax.lax.psum(hg_l @ bp["fc2"]["kernel"],
-                                   model_axis) + bp["fc2"]["bias"]
+            with _ctx(mlp_precision):
+                h1_l = xn2 @ bp["fc1"]["kernel"] + bp["fc1"]["bias"]
+                hg_l = jax.nn.gelu(h1_l, approximate=False)
+                mlp_out = jax.lax.psum(hg_l @ bp["fc2"]["kernel"],
+                                       model_axis) + bp["fc2"]["bias"]
             return x_mid + mlp_out, (x, x_mid, out_l)
 
         x_final, (x_ins, x_mids, out_ls) = jax.lax.scan(fwd_step, x0, bp_all)
@@ -190,9 +213,10 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
             return jnp.sum(onehot * lg)
 
         g_final = jax.grad(tail)(x_final)
-        R = rp.linear_alphabeta(xn[0], params["head"]["kernel"], onehot,
-                                alpha, variant)
-        R = rp.index_select_relprop(xn, 0, jnp.array(0), R[None, :])
+        with _ctx(relprop_precision):
+            R = rp.linear_alphabeta(xn[0], params["head"]["kernel"], onehot,
+                                    alpha, variant)
+            R = rp.index_select_relprop(xn, 0, jnp.array(0), R[None, :])
 
         def rev_step(carry, xs):
             g_out, Rc = carry
@@ -209,38 +233,46 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
             attn_out = proj_pre + bp["proj"]["bias"]
             xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
             ax2 = jnp.abs(xn2)
-            fc1_pre_l = xn2 @ w1
-            h1_l = fc1_pre_l + bp["fc1"]["bias"]
-            hg_l = jax.nn.gelu(h1_l, approximate=False)
-            fc2_pre = jax.lax.psum(hg_l @ w2, model_axis)
+            with _ctx(mlp_precision):
+                fc1_pre_l = xn2 @ w1
+                h1_l = fc1_pre_l + bp["fc1"]["bias"]
+                hg_l = jax.nn.gelu(h1_l, approximate=False)
+                fc2_pre = jax.lax.psum(hg_l @ w2, model_axis)
             mlp_out = fc2_pre + bp["fc2"]["bias"]
 
             # ---- backward, MLP half ----
-            g_hg_l = g_out @ w2.T
-            g_h1_l = g_hg_l * vit_mod._gelu_grad(h1_l)
-            g_xn2 = jax.lax.psum(g_h1_l @ w1.T, model_axis)
+            with _ctx(mlp_precision):
+                g_hg_l = g_out @ w2.T
+                g_h1_l = g_hg_l * vit_mod._gelu_grad(h1_l)
+                g_xn2 = jax.lax.psum(g_h1_l @ w1.T, model_axis)
             g_mid = g_out + vit_mod._layernorm_bwd(g_xn2, x_mid, bp["norm2"],
                                                    eps)
 
-            # ---- relprop, MLP half (add/clone replicated) ----
-            R1, R2 = rp.add_relprop(x_mid, mlp_out, Rc, variant)
-            R2_l = _lin_rule_row(hg_l, w2, R2, fc2_pre, model_axis)
-            R2 = _lin_rule_col(xn2, ax2, w1, R2_l, fc1_pre_l, model_axis)
-            Rm = rp.clone_relprop(x_mid, [R1, R2])
+            # ---- relprop, MLP half (add/clone replicated; rule dots at the
+            # rule-island precision, like the single-device path) ----
+            with _ctx(relprop_precision):
+                R1, R2 = rp.add_relprop(x_mid, mlp_out, Rc, variant)
+                R2_l = _lin_rule_row(hg_l, w2, R2, fc2_pre, model_axis)
+                R2 = _lin_rule_col(xn2, ax2, w1, R2_l, fc1_pre_l, model_axis)
+                Rm = rp.clone_relprop(x_mid, [R1, R2])
 
             g_om_l = g_mid @ wproj.T                     # (n, D/k)
 
-            Ra1, Ra2 = rp.add_relprop(x_in, attn_out, Rm, variant, Z=x_mid)
-            cam_o_l = _lin_rule_row(out_l, wproj, Ra2, proj_pre, model_axis)
+            with _ctx(relprop_precision):
+                Ra1, Ra2 = rp.add_relprop(x_in, attn_out, Rm, variant,
+                                          Z=x_mid)
+                cam_o_l = _lin_rule_row(out_l, wproj, Ra2, proj_pre,
+                                        model_axis)
 
             # attention core on the LOCAL head slice — the Pallas kernel
             g_qkv_l, cam_qkv_l, gc_l = pk.attn_rev_core(
                 qkv_l, g_om_l, cam_o_l, h_loc, d, d ** -0.5,
-                attn_mxu=attn_mxu, rule_mxu=attn_mxu)
+                attn_mxu=attn_mxu, rule_mxu=rule_mxu)
 
             ax1 = jnp.abs(xn1)
-            R2 = _lin_rule_col(xn1, ax1, wqkv, cam_qkv_l, qkv_pre_l,
-                               model_axis)
+            with _ctx(relprop_precision):
+                R2 = _lin_rule_col(xn1, ax1, wqkv, cam_qkv_l, qkv_pre_l,
+                                   model_axis)
             g_xn1 = jax.lax.psum(g_qkv_l @ wqkv.T, model_axis)
             g_in = g_mid + vit_mod._layernorm_bwd(g_xn1, x_in, bp["norm1"],
                                                   eps)
