@@ -187,8 +187,14 @@ def _bench_extra_models(names, rng):
                     mlp_precision="bfloat16")
                 imgs = jnp.asarray(rng.randn(B, 3, 224, 224).astype(np.float32))
                 idx = jnp.asarray(rng.randint(0, 1000, B), jnp.int32)
-                rate = _time_fn(fn, params, imgs, idx, B)
-                out["vit_l16_224"] = {"value": round(rate, 2), "batch": B}
+                np.asarray(fn(params, imgs, idx))   # warm-up + compile
+                reps = int(os.environ.get("BENCH_REPS", "5"))
+                rates = [_rate_once(fn, (params, imgs, idx), B, _n_iter(B))
+                         for _ in range(reps)]
+                out["vit_l16_224"] = {
+                    "value": round(float(np.median(rates)), 2), "batch": B,
+                    "spread": [round(float(min(rates)), 2),
+                               round(float(max(rates)), 2)]}
             elif name.startswith("bert"):
                 from transformer_explainability_tpu.models.bert import (
                     BertConfig, init_params as bert_init)
@@ -214,12 +220,14 @@ def _bench_extra_models(names, rng):
                 mask = jnp.asarray(mask)
                 idx = jnp.asarray(rng.randint(0, cfg.num_labels, B), jnp.int32)
                 np.asarray(fn(params, ids, mask, idx))
-                n_iter = max(2, int(np.ceil(128 / B)))
+                n_iter = _n_iter(B)
                 reps = int(os.environ.get("BENCH_REPS", "5"))
                 rates = [_rate_once(fn, (params, ids, mask, idx), B, n_iter)
                          for _ in range(reps)]
                 out[f"bert_base_s{S}"] = {
-                    "value": round(float(np.median(rates)), 2), "batch": B}
+                    "value": round(float(np.median(rates)), 2), "batch": B,
+                    "spread": [round(float(min(rates)), 2),
+                               round(float(max(rates)), 2)]}
             else:
                 continue
             print(f"# extra model {name}: {json.dumps(out)}", file=sys.stderr)
@@ -273,21 +281,21 @@ def main():
         raise SystemExit("all batch sizes failed")
     B, rate, prod_fn, prod_args = best
 
-    # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1); only
-    # the production sweep's best batch size is re-run — each extra shape
-    # costs a multi-minute compile on the relay
+    # exact-parity float32 mode (skippable via BENCH_SKIP_PARITY=1),
+    # measured at ITS OWN batch optimum (96 — round 4d: the f32 program
+    # runs 144.7 expl/s at 96 but only 135.2 at the production pick 104),
+    # one compile; 64 as the OOM fallback (e.g. with TE_TPU_RICH_XLA=1
+    # anchors, ~113 MB/sample)
     parity = None
     if os.environ.get("BENCH_SKIP_PARITY", "") != "1":
         if (precision, relprop_precision, mlp_precision) == \
                 ("float32", None, None):
             parity = best
         else:
+            Bp = int(os.environ.get("BENCH_PARITY_BATCH", "96"))
             parity = _bench_mode(cfg, params, rng, "float32", None, None,
-                                 [B], reps=2)
-            if parity is None and B > 64:
-                # robustness: if the f32 mode OOMs at the production batch
-                # (e.g. with TE_TPU_RICH_XLA=1 anchors, ~113 MB/sample),
-                # fall back to 64 rather than dropping the parity row
+                                 [Bp], reps=2)
+            if parity is None and Bp > 64:
                 parity = _bench_mode(cfg, params, rng, "float32", None, None,
                                      [64], reps=2)
 
@@ -415,51 +423,70 @@ def main():
             fid_out["guarded_strict"] = g
             fid_out["parity_class"] = bool(g["min"] >= 0.999)
 
-            # envelope mode: flag counts on stress vs a realistic batch +
-            # its overhead vs plain production at the same batch size
+            # envelope mode (fallback="defer" — the serving policy: flags
+            # route to an async verification queue; a sync fallback costs
+            # ~2.1 s/flag, so the envelope's measured ~1% benign FP rate
+            # would dominate — PERF.md 4d): flag counts on stress + on 96
+            # fresh realistic augments (the FP-rate estimate), and the
+            # diagnostics program's PIPELINED overhead vs plain production
+            # (the deployment-relevant cost; single-batch sync timing
+            # overstates it ~3x by exposing fill/drain)
             env = make_guarded_explain_fn(cfg, mode="envelope",
-                                          return_info=True)
+                                          fallback="defer", return_info=True)
             _, einfo = env(params, jnp.asarray(imgs_p), jnp.asarray(idx_p),
                            n_valid=n_eff)
             rngl = np.random.RandomState(7)
             cat = imgs[-1]
+            n_real = 3 * Bg
             reals = np.stack([
                 np.clip(cat * rngl.uniform(0.9, 1.1)
                         + rngl.randn(*cat.shape).astype(np.float32) * 0.02,
-                        -1.5, 1.5) for _ in range(Bg)])
-            ridx = jnp.asarray(np.full(Bg, 243, np.int32))
-            rimgs = jnp.asarray(reals)
+                        -1.5, 1.5) for _ in range(n_real)])
+            ridx_all = np.full(n_real, 243, np.int32)
+            flags_real = 0
+            for lo in range(0, n_real, Bg):
+                _, rinfo = env(params, jnp.asarray(reals[lo:lo + Bg]),
+                               jnp.asarray(ridx_all[lo:lo + Bg]))
+                flags_real += int(rinfo["flagged"].sum())
+            rimgs = jnp.asarray(reals[:Bg])
+            ridx = jnp.asarray(ridx_all[:Bg])
             plain32 = make_explain_fn(
                 cfg, "transformer_attribution",
                 matmul_precision=precision,
                 relprop_precision=relprop_precision,
                 attn_precision=attn_precision, mlp_precision=mlp_precision)
+            diagp = make_explain_fn(
+                cfg, "transformer_attribution", with_diagnostics=True,
+                matmul_precision=precision,
+                relprop_precision=relprop_precision,
+                attn_precision=attn_precision, mlp_precision=mlp_precision)
 
-            h_warm, rinfo = env(params, rimgs, ridx)     # warm-up + flags
-            flags_real = int(rinfo["flagged"].sum())
+            def _rate_diag(n_iter):
+                t0 = time.perf_counter()
+                outs = [diagp(params, rimgs, ridx) for _ in range(n_iter)]
+                for hh, dd in outs:
+                    np.asarray(hh), np.asarray(dd)
+                return Bg * n_iter / (time.perf_counter() - t0)
+
             np.asarray(plain32(params, rimgs, ridx))
+            _rate_diag(2)
             reps = int(os.environ.get("BENCH_REPS", "5"))
-            # rate = the envelope's OWN cost (diagnostics program + flag
-            # check; n_valid=0 skips fallbacks) — a flagged sample
-            # additionally pays the ~2.1 s exact-CPU fallback, so the
-            # effective rate is flag-rate-dependent and reported via
-            # realistic_flagged rather than folded into one number
+            niter = _n_iter(Bg)
             gr, pr = [], []
             for _ in range(reps):
-                t0 = time.perf_counter()
-                env(params, rimgs, ridx, n_valid=0)
-                gr.append(Bg / (time.perf_counter() - t0))
-                t0 = time.perf_counter()
-                np.asarray(plain32(params, rimgs, ridx))
-                pr.append(Bg / (time.perf_counter() - t0))
+                gr.append(_rate_diag(niter))
+                pr.append(_rate_once(plain32, (params, rimgs, ridx),
+                                     Bg, niter))
             fid_out["guarded_envelope"] = {
                 "stress_flagged": int(einfo["flagged"].sum()), "n": n_eff,
                 "realistic_flagged": flags_real,
-                "realistic_n": Bg,
+                "realistic_n": n_real,
                 "diag_rate": round(float(np.median(gr)), 2),
                 "production_rate_same_batch": round(float(np.median(pr)), 2),
                 "diag_overhead_pct": round(
-                    100.0 * (np.median(pr) / np.median(gr) - 1.0), 2)}
+                    100.0 * (np.median(pr) / np.median(gr) - 1.0), 2),
+                "fallback_policy": "defer (async verification; sync "
+                                   "fallback ~2.1 s/flag)"}
         except Exception as e:
             print(f"# guarded stage failed: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)

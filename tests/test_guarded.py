@@ -122,3 +122,26 @@ def test_guarded_bad_mode_raises():
     with pytest.raises(ValueError):
         make_guarded_explain_fn(CFG, mode="nope")
     assert set(ENVELOPE_BOUNDS) == set(DIAG_FIELDS)
+
+
+def test_guarded_envelope_defer_skips_fallback(setup):
+    """fallback="defer" returns the fast heatmaps untouched and only marks
+    flags (the async-verification serving policy)."""
+    params, imgs, idx = setup
+    plain = make_explain_fn(CFG, "transformer_attribution",
+                            with_diagnostics=False)
+    want = np.asarray(plain(params, imgs, idx))
+    # bounds that flag EVERYTHING: with sync fallback the heatmaps would be
+    # CPU re-runs; with defer they must be the fast program's output bitwise
+    bounds = {f: (np.inf, -np.inf) for f in DIAG_FIELDS}
+    env = make_guarded_explain_fn(CFG, mode="envelope",
+                                  envelope_bounds=bounds,
+                                  fallback="defer", return_info=True)
+    heat, info = env(params, imgs, idx)
+    assert info["flagged"].all()
+    np.testing.assert_array_equal(heat, want)
+
+
+def test_guarded_rejects_unknown_fallback(setup):
+    with pytest.raises(ValueError):
+        make_guarded_explain_fn(CFG, mode="envelope", fallback="asap")

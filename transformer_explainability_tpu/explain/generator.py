@@ -480,6 +480,7 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
                             agreement: Optional[float] = None,
                             envelope_bounds: Optional[dict] = None,
                             fallback_precision: str = "float32",
+                            fallback: str = "sync",
                             return_info: bool = False,
                             **precision_overrides):
     """The ``production-guarded`` preset: production-mode serving with a
@@ -524,11 +525,23 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
     "score": float (B,)}`` (score = prod-vs-f32 corr in strict mode, max
     envelope violation count in envelope mode).
 
+    ``fallback``: ``"sync"`` (default) re-runs flagged samples on the host
+    CPU before returning; ``"defer"`` returns the fast heatmaps untouched
+    and only marks ``info["flagged"]`` — the serving policy for deployments
+    that drain flagged samples through an async verification queue instead
+    of blocking the batch (each sync fallback costs ~2.1 s, so with the
+    envelope's measured ~1% benign false-positive rate on fresh augment
+    draws — the benign and stress statistic distributions nearly touch,
+    see :data:`ENVELOPE_BOUNDS` — deferring is what keeps the envelope
+    mode at its ~10% pipelined diagnostics cost).
+
     ``precision_overrides``: any :func:`make_explain_fn` precision kwarg
     for the production program, defaulting to the production preset.
     """
     if mode not in ("strict", "envelope"):
         raise ValueError(f"unknown guarded mode {mode!r}")
+    if fallback not in ("sync", "defer"):
+        raise ValueError(f"unknown fallback policy {fallback!r}")
     kwargs = dict(PRECISION_PRESETS["production"])
     kwargs.update(precision_overrides)
     if mode == "strict":
@@ -589,8 +602,9 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
             score = score[:, 6]          # g_growth, for info readability
         if n_valid is not None:
             flagged = flagged & (np.arange(len(flagged)) < n_valid)
-        for i in np.nonzero(flagged)[0]:
-            heat[i] = _fallback(params, images[i], indices[i])
+        if fallback == "sync":
+            for i in np.nonzero(flagged)[0]:
+                heat[i] = _fallback(params, images[i], indices[i])
         if return_info:
             return heat, {"flagged": flagged, "score": score}
         return heat
