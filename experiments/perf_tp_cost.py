@@ -57,11 +57,12 @@ def main():
     entries["dp1-shardmap(megakernels)"] = (fn2, (sp, imgs, idx))
     tpp = tp_reshuffle_params(params, 1)
     fn3 = make_tp_explain_fn(cfg, mesh, **PROD)
-    entries["tp1(attn-cores+XLA-MLP)"] = (fn3, (tpp, imgs, idx))
-    # the round-4b measurement ran the TP program WITHOUT the rule/MLP
-    # precision islands (ambient tf32 on every rule + MLP dot where the
-    # megakernels run bf16) — keep that variant for the before/after
-    fn3_old = make_tp_explain_fn(cfg, mesh,
+    entries["tp1(attn+mlp-kernels)"] = (fn3, (tpp, imgs, idx))
+    # round-4 history rows: the islands-but-XLA-MLP state and the
+    # no-islands state (ambient tf32 on every rule + MLP dot)
+    fn3_xla = make_tp_explain_fn(cfg, mesh, mlp_kernel=False, **PROD)
+    entries["tp1-xla-mlp(islands)"] = (fn3_xla, (tpp, imgs, idx))
+    fn3_old = make_tp_explain_fn(cfg, mesh, mlp_kernel=False,
                                  matmul_precision=PROD["matmul_precision"],
                                  attn_precision=PROD["attn_precision"])
     entries["tp1-no-islands(r4b)"] = (fn3_old, (tpp, imgs, idx))

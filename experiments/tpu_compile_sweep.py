@@ -193,9 +193,10 @@ def run_sharded(results):
     except Exception as e:
         _record(results, key, {"ok": False, "err": str(e)[:300]})
 
-    # the full production island set (bf16 rules/MLP + f32 attention): a
-    # DIFFERENT attention-core kernel instantiation (rule_mxu=bf16) than the
-    # no-island variant — both must compile on hardware
+    # the full production island set (bf16 rules/MLP + f32 attention) WITH
+    # the TP MLP kernel pair (unrolled reverse): the shipped TP default —
+    # different kernel instantiations than the no-island variant; all must
+    # compile on hardware
     key = "vit_b/tp1-kernels/prod-islands/B8"
     t0 = time.perf_counter()
     try:

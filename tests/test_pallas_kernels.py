@@ -894,3 +894,89 @@ def test_explain_f32_rich_anchor_path_is_bitwise():
                     os.environ[k] = v
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_mlp_rev_tp_phases_interpret_match_jnp():
+    """The TP MLP phase kernels (interpret mode) == their jnp fallbacks, and
+    the two-phase composition over simulated shards == the one-shot
+    single-device MLP core (f64, 2-way 'mesh' via column/row slicing with
+    host-side psums)."""
+    import jax
+    from transformer_explainability_tpu.ops.pallas_kernels import (
+        mlp_rev_tp_phase1, mlp_rev_tp_phase2, _mlp_rev_core_jnp,
+        _ksafe_divide, _ln_fwd)
+    from transformer_explainability_tpu.ops import relprop as rp
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.RandomState(9)
+        n, D, M, k = 23, 16, 40, 2
+        x_mid = jnp.asarray(rng.randn(n, D))
+        g_out = jnp.asarray(rng.randn(n, D))
+        R = jnp.asarray(rng.randn(n, D))
+        ln = {"scale": jnp.asarray(1 + 0.1 * rng.randn(D)),
+              "bias": jnp.asarray(0.1 * rng.randn(D))}
+        w1 = jnp.asarray(rng.randn(D, M) * 0.2)
+        w2 = jnp.asarray(rng.randn(M, D) * 0.2)
+        b1 = jnp.asarray(0.1 * rng.randn(M))
+        b2 = jnp.asarray(0.1 * rng.randn(D))
+        eps = 1e-6
+        C = M // k
+
+        # per-"device" phase 1, interpret kernels vs jnp fallbacks
+        p1 = []
+        for c in range(k):
+            w1_l, w2_l = w1[:, c * C:(c + 1) * C], w2[c * C:(c + 1) * C]
+            b1_l = b1[c * C:(c + 1) * C]
+            got = mlp_rev_tp_phase1(x_mid, g_out, ln, b1_l, w1_l, w2_l, eps,
+                                    mxu="float32", rule_mxu="float32",
+                                    use_pallas=True, interpret=True)
+            want = mlp_rev_tp_phase1(x_mid, g_out, ln, b1_l, w1_l, w2_l,
+                                     eps, use_pallas=False)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-9, atol=1e-12)
+            p1.append(got)
+
+        # host-side "psums" + the shared XLA glue
+        fc2_pre = sum(np.asarray(p[1]) for p in p1)
+        axw2 = sum(np.asarray(p[2]) for p in p1)
+        mlp_out = jnp.asarray(fc2_pre) + b2
+        R1, R2 = rp.add_relprop(x_mid, mlp_out, R, "ours")
+        Sr = rp.safe_divide(R2, 0.5 * (jnp.asarray(fc2_pre)
+                                       + jnp.asarray(axw2)))
+
+        num_w = np.zeros((n, D))
+        num_a = np.zeros((n, D))
+        for c in range(k):
+            w1_l, w2_l = w1[:, c * C:(c + 1) * C], w2[c * C:(c + 1) * C]
+            b1_l = b1[c * C:(c + 1) * C]
+            got = mlp_rev_tp_phase2(x_mid, Sr, p1[c][0], ln, b1_l, w1_l,
+                                    w2_l, eps, mxu="float32",
+                                    rule_mxu="float32", use_pallas=True,
+                                    interpret=True)
+            want = mlp_rev_tp_phase2(x_mid, Sr, p1[c][0], ln, b1_l, w1_l,
+                                     w2_l, eps, use_pallas=False)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           rtol=1e-9, atol=1e-12)
+            num_w += np.asarray(got[0])
+            num_a += np.asarray(got[1])
+
+        xn2, _, _ = _ln_fwd(x_mid, ln["scale"], ln["bias"], eps)
+        R2b = 0.5 * (np.asarray(xn2) * num_w
+                     + np.abs(np.asarray(xn2)) * num_a)
+        Rm = rp.clone_relprop(x_mid, [R1, jnp.asarray(R2b)])
+        g_xn2 = sum(np.asarray(p[3]) for p in p1)
+        from transformer_explainability_tpu.models.vit import _layernorm_bwd
+        g_mid = g_out + _layernorm_bwd(jnp.asarray(g_xn2), x_mid, ln, eps)
+
+        bp = {"fc1": {"kernel": w1, "bias": b1},
+              "fc2": {"kernel": w2, "bias": b2}}
+        want_g, want_R = _mlp_rev_core_jnp(x_mid, g_out, R, ln, bp, eps,
+                                           "ours", 1.0)
+        np.testing.assert_allclose(np.asarray(g_mid), np.asarray(want_g),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Rm), np.asarray(want_R),
+                                   rtol=1e-9, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -107,3 +107,24 @@ def test_mesh_forwards_island_knobs_to_tp(setup):
                                  mlp_precision="bfloat16")
     got = np.asarray(fn(params, imgs, idx))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_tp_mlp_kernel_composition_matches_dense(setup):
+    """The TP MLP kernel composition (phase1/psum/phase2 split) is the same
+    math re-associated: force it on at exact f32 (CPU jnp fallbacks) and
+    compare against the dense single-device program."""
+    params, imgs, idx, want = setup
+    mesh = make_mesh(n_data=2, n_model=2)
+    fn = make_tp_explain_fn(CFG, mesh, mlp_kernel=True)
+    got = np.asarray(fn(params, imgs, idx))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_tp_rich_anchors_matches(setup):
+    """The rich-anchor forward (saved qkv_pre/proj_pre consumed by the
+    reverse) is the same math as the default recompute path."""
+    params, imgs, idx, want = setup
+    mesh = make_mesh(n_data=2, n_model=2)
+    fn = make_tp_explain_fn(CFG, mesh, rich_anchors=True)
+    np.testing.assert_allclose(np.asarray(fn(params, imgs, idx)), want,
+                               rtol=2e-4, atol=1e-7)

@@ -809,6 +809,175 @@ def mlp_rev_core(x_mid: jax.Array, g_out: jax.Array, R: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Tensor-parallel MLP reverse: the fused MLP core split at its collective
+# points. Under TP (parallel/tensor.py) fc1 is column-parallel and fc2
+# row-parallel, so the fused reverse step factors into two LOCAL kernels —
+# each device runs them on its M/k weight shard with every (n, M/k) tensor
+# VMEM-resident — separated by XLA psums of five (n, D) partials:
+#
+#   phase 1 (local): LN fwd, fc1/gelu recompute, fc2 forward partial, the
+#     fc2 rule's |hg|@|w2| denominator partial, and the MLP backward's
+#     g_xn2 partial; persists fc1_pre_l as the phase-2 anchor (the same
+#     kernel computed it, so every rule divides at its linearization point).
+#   XLA (replicated): psum(fc2_pre, axw2, g_xn2) -> LN backward, add-rule
+#     split, the shared fc2-rule divide Sr.
+#   phase 2 (local): the fc2 rule scatter to (n, M/k), the fc1 rule's
+#     divide, and the fc1 rule gather partials num_w/num_a.
+#   XLA: psum(num_w, num_a) -> R2b, clone merge.
+#
+# This is _mlp_rev_math_chunked's chunk loop with "chunk" == "device" and
+# the cross-chunk accumulations turned into psums — numerically the same
+# re-association. Mosaic cannot express the psums in-kernel; this split is
+# the finest kernel granularity TP admits (docs/PARALLELISM.md).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_rev_tp1_kernel(*refs, eps: float, mxu: str, rule_mxu: str,
+                        wsplit: int):
+    (x_mid_ref, g_out_ref, ls_ref, lb_ref, b1_ref) = refs[:5]
+    fc1_ref, fc2p_ref, axw2_ref, gxn2_ref = refs[-4:]
+    w_refs = refs[5:-4]
+    if wsplit > 1:
+        w1 = tuple(r[:] for r in w_refs[:wsplit])
+        w2 = tuple(r[:] for r in w_refs[wsplit:])
+    else:
+        w1, w2 = w_refs[0][:], w_refs[1][:]
+    xn2, _, _ = _ln_fwd(x_mid_ref[:], ls_ref[:], lb_ref[:], eps)
+    fc1_pre = _kdot(xn2, w1, ((1,), (0,)), mxu)
+    h1 = fc1_pre + b1_ref[:]
+    hg = _gelu_exact(h1)
+    fc2p_ref[:] = _kdot(hg, w2, ((1,), (0,)), mxu)
+    axw2_ref[:] = _kdot(jnp.abs(hg), _kabs(w2), ((1,), (0,)), rule_mxu)
+    g_hg = _kdot(g_out_ref[:], w2, ((1,), (1,)), mxu)
+    gxn2_ref[:] = _kdot(g_hg * _gelu_grad(h1), w1, ((1,), (1,)), mxu)
+    fc1_ref[:] = fc1_pre
+
+
+def _mlp_rev_tp2_kernel(*refs, eps: float, rule_mxu: str, wsplit: int):
+    (x_mid_ref, Sr_ref, fc1_ref, ls_ref, lb_ref, b1_ref) = refs[:6]
+    numw_ref, numa_ref = refs[-2:]
+    w_refs = refs[6:-2]
+    if wsplit > 1:
+        w1 = tuple(r[:] for r in w_refs[:wsplit])
+        w2 = tuple(r[:] for r in w_refs[wsplit:])
+    else:
+        w1, w2 = w_refs[0][:], w_refs[1][:]
+    dt = Sr_ref.dtype
+    half = jnp.asarray(0.5, dt)
+    xn2, _, _ = _ln_fwd(x_mid_ref[:], ls_ref[:], lb_ref[:], eps)
+    fc1_pre = fc1_ref[:]
+    hg = _gelu_exact(fc1_pre + b1_ref[:])
+    Sr = Sr_ref[:]
+    aw2 = _kabs(w2)
+    R2 = half * (hg * _kdot(Sr, w2, ((1,), (1,)), rule_mxu)
+                 + jnp.abs(hg) * _kdot(Sr, aw2, ((1,), (1,)), rule_mxu))
+    aw1 = _kabs(w1)
+    axw1 = _kdot(jnp.abs(xn2), aw1, ((1,), (0,)), rule_mxu)
+    S1 = _ksafe_divide(R2, half * (fc1_pre + axw1))
+    numw_ref[:] = _kdot(S1, w1, ((1,), (1,)), rule_mxu)
+    numa_ref[:] = _kdot(S1, aw1, ((1,), (1,)), rule_mxu)
+
+
+def _mlp_tp_weight_ops(w1_l, w2_l, dt, mxu):
+    """Weight operands for the TP MLP kernels, in the forward dot dtype
+    (mirrors :func:`mlp_rev_core`: bf16 single / tf32 (hi, lo) pair /
+    HIGHEST (hi, mid, lo) triple; f64 = interpret-mode tests, unsplit)."""
+    wk = [w1_l, w2_l]
+    if dt == jnp.float32 and mxu not in ("bfloat16", "tensorfloat32"):
+        return [part for w in wk for part in _split3(w)], 3
+    flat, paired = _flatten_weights(wk, mxu)
+    return flat, (2 if paired else 1)
+
+
+def mlp_rev_tp_phase1(x_mid: jax.Array, g_out: jax.Array, ln: dict,
+                      b1_l: jax.Array, w1_l: jax.Array, w2_l: jax.Array,
+                      eps: float, mxu: str = "bfloat16",
+                      rule_mxu: str = "bfloat16",
+                      use_pallas: Optional[bool] = None,
+                      interpret: bool = False):
+    """Local phase 1 on this device's (D, M/k)/(M/k, D) shard: returns
+    (fc1_pre_l (n, M/k), fc2_pre_l, axw2_l, g_xn2_l (each (n, D) psum
+    partials)). Call under shard_map; psum the three partials."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, D = x_mid.shape
+    Ml = w1_l.shape[1]
+    dt = jnp.float64 if x_mid.dtype == jnp.float64 else jnp.float32
+    if not use_pallas and not interpret:
+        # jnp fallback: exact dots (mirrors _mlp_rev_core_jnp — off-TPU the
+        # mxu names select MXU pass counts that don't exist)
+        xn2, _, _ = _ln_fwd(x_mid, ln["scale"], ln["bias"], eps)
+        fc1_pre = xn2 @ w1_l
+        h1 = fc1_pre + b1_l
+        hg = _gelu_exact(h1)
+        fc2p = hg @ w2_l
+        axw2 = jnp.abs(hg) @ jnp.abs(w2_l)
+        g_hg = g_out @ w2_l.T
+        gxn2 = (g_hg * _gelu_grad(h1)) @ w1_l.T
+        return fc1_pre, fc2p, axw2, gxn2
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    w_flat, wsplit = _mlp_tp_weight_ops(w1_l, w2_l, dt, mxu)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_rev_tp1_kernel, eps=eps, mxu=mxu,
+                          rule_mxu=rule_mxu, wsplit=wsplit),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n, Ml), dt)]
+        + [jax.ShapeDtypeStruct((n, D), dt)] * 3,
+        compiler_params=_vmem_params(interpret,
+                                     mib=112 if wsplit == 3 else 96),
+        interpret=interpret,
+    )(x_mid.astype(dt), g_out.astype(dt),
+      ln["scale"][None].astype(dt), ln["bias"][None].astype(dt),
+      b1_l[None].astype(dt), *w_flat)
+    return tuple(outs)
+
+
+def mlp_rev_tp_phase2(x_mid: jax.Array, Sr: jax.Array, fc1_pre_l: jax.Array,
+                      ln: dict, b1_l: jax.Array, w1_l: jax.Array,
+                      w2_l: jax.Array, eps: float,
+                      mxu: str = "bfloat16", rule_mxu: str = "bfloat16",
+                      use_pallas: Optional[bool] = None,
+                      interpret: bool = False):
+    """Local phase 2: the fc2 rule scatter + fc1 rule on this shard;
+    returns (num_w_l, num_a_l) (n, D) psum partials. ``Sr`` is the shared
+    fc2-rule divide computed in XLA from the psummed denominators;
+    ``fc1_pre_l`` is phase 1's persisted anchor. (``mxu`` only selects the
+    weight operand layout — every dot here is a rule dot at ``rule_mxu``.)"""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n, D = x_mid.shape
+    dt = jnp.float64 if x_mid.dtype == jnp.float64 else jnp.float32
+    if not use_pallas and not interpret:
+        half = jnp.asarray(0.5, Sr.dtype)
+        xn2, _, _ = _ln_fwd(x_mid, ln["scale"], ln["bias"], eps)
+        hg = _gelu_exact(fc1_pre_l + b1_l)
+        aw2 = jnp.abs(w2_l)
+        R2 = half * (hg * (Sr @ w2_l.T) + jnp.abs(hg) * (Sr @ aw2.T))
+        aw1 = jnp.abs(w1_l)
+        axw1 = jnp.abs(xn2) @ aw1
+        S1 = _ksafe_divide(R2, half * (fc1_pre_l + axw1))
+        return S1 @ w1_l.T, S1 @ aw1.T
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    w_flat, wsplit = _mlp_tp_weight_ops(w1_l, w2_l, dt, mxu)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_rev_tp2_kernel, eps=eps, rule_mxu=rule_mxu,
+                          wsplit=wsplit),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 + len(w_flat)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, D), dt)] * 2,
+        compiler_params=_vmem_params(interpret,
+                                     mib=112 if wsplit == 3 else 96),
+        interpret=interpret,
+    )(x_mid.astype(dt), Sr.astype(dt), fc1_pre_l.astype(dt),
+      ln["scale"][None].astype(dt), ln["bias"][None].astype(dt),
+      b1_l[None].astype(dt), *w_flat)
+    return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
 # Whole-block reverse megakernel.
 #
 # Per-program fixed cost (~35us: small-dot pipeline latency + program setup)

@@ -30,19 +30,22 @@ the attention cores (the layout-bound part XLA handles worst) are the part
 worth keeping under TP.
 
 MEASURED COST (round 4, real chip, B=32, production precision,
-experiments/perf_tp_cost.py): **64% of the single-device megakernel rate
-per device** (294.3 vs 460.6 expl/s at n_model=1, trivial psums). The
-first measurement read 40% (186.5) — more than half of that cliff was a
-silent precision mismatch, not structure: the TP program had no
-relprop/mlp precision islands, so every rule and MLP dot paid the
-ambient 3-pass tf32 (and the attention core's in-kernel rule dots paid
-6-pass f32) where the megakernels run 1-pass bf16. With the islands
-threaded (this module + mesh.make_sharded_explain_fn), the remaining
-36% is the structural loss of the whole-block megakernels. TP is for
-models that don't fit a chip; for throughput, scale out with dp (its
-shard_map wrapper measures free: 462.6). BERT TP is intentionally
-absent: BERT-base fits one chip, dp covers serving, SP covers long
-context (docs/PARALLELISM.md).
+experiments/perf_tp_cost.py): **71% of the single-device megakernel rate
+per device** (328.7 vs 466.2 expl/s at n_model=1, trivial psums). The
+round-4b first measurement read 40% (186.8); the cliff closed in two
+steps — (1) the precision islands (→63%: the TP program had no
+relprop/mlp precision knobs, so every rule and MLP dot paid ambient
+3-pass tf32 and the attention core's in-kernel rule dots 6-pass f32
+where the megakernels run 1-pass bf16), and (2) the TP-split fused MLP
+kernels (→71%: ``ops.pallas_kernels.mlp_rev_tp_phase1/2`` — the
+single-device MLP core factored at its collective points, five (n, D)
+psums per block, reverse loop unrolled to keep the scoped-VMEM caps).
+The remaining 29% is the rest of the whole-block megakernel fusion
+(LN1/qkv/proj glue + per-kernel fixed costs). TP is for models that
+don't fit a chip; for throughput, scale out with dp (its shard_map
+wrapper measures free: 468.0). BERT TP is intentionally absent:
+BERT-base fits one chip, dp covers serving, SP covers long context
+(docs/PARALLELISM.md).
 
 Reference being distributed: ``ViT_LRP.py`` relprop (:154-177, :203-213) —
 the reference itself has no live parallelism (SURVEY §2.9).
@@ -142,7 +145,9 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
                        relprop_precision: Optional[str] = None,
                        mlp_precision: Optional[str] = None,
                        data_axis: str = "data", model_axis: str = "model",
-                       pre_sharded: bool = False):
+                       pre_sharded: bool = False,
+                       mlp_kernel: Optional[bool] = None,
+                       rich_anchors: Optional[bool] = None):
     """Jitted TP explain ``fn(params, images, indices) -> (B, num_patches)``.
 
     ``pre_sharded=False`` (default): pass the ORIGINAL pytree; the qkv
@@ -157,6 +162,14 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
     and MLP dot the production megakernels run at bf16, a large share of
     the round-4b 38%-of-single-device cliff.
 
+    ``mlp_kernel`` (default on): run the MLP half of each reverse step
+    through the TP-split fused kernels (:func:`...ops.pallas_kernels.
+    mlp_rev_tp_phase1`/``phase2`` — the single-device MLP core factored at
+    its collective points, every (n, M/k) tensor VMEM-resident, five
+    (n, D) psums per block). The reverse loop Python-unrolls on TPU (XLA
+    drops scoped-VMEM caps inside scan bodies — CLAUDE.md). ``False``
+    keeps the round-4 XLA rule path.
+
     Constraints: the kernel-compatible config only (variant="ours", α=1,
     method="transformer_attribution"), num_heads and mlp_dim divisible by
     the model-axis size.
@@ -170,6 +183,25 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
     eps = cfg.block_ln_eps
     attn_mxu = vit_mod._mxu_name(attn_precision, matmul_precision)
     rule_mxu = vit_mod._mxu_name(relprop_precision, matmul_precision)
+    mlp_mxu = vit_mod._mxu_name(mlp_precision, matmul_precision)
+    if mlp_kernel is None:
+        # mirror the single-device design: the f32-HIGHEST MLP stays in XLA
+        # (the in-kernel bf16x6 emulation measured SLOWER than XLA's
+        # pipelined HIGHEST, and its triple working set is VMEM-heavy —
+        # PERF.md round 2d)
+        mlp_kernel = mlp_mxu in ("bfloat16", "tensorfloat32")
+    if rich_anchors is None:
+        # measured a wash on the real chip (345.6 anchors-on vs 346.9 off,
+        # interleaved B=32): at XLA level the skipped tf32 recompute dots
+        # cost about what the saved (L, n, 3D/k) anchors' HBM traffic
+        # costs, and — unlike the in-kernel megakernel anchors — the XLA
+        # saves are not bitwise (fusion differences, ~1e-4 heatmap).
+        # Default off; the kwarg stays for chips with a different
+        # MXU/HBM balance.
+        rich_anchors = False
+    # big kernels lose their scoped-VMEM cap inside lax.scan bodies
+    # (CLAUDE.md) — unroll the reverse loop where the kernels actually run
+    unroll_rev = mlp_kernel and jax.default_backend() == "tpu"
     import contextlib
 
     def _ctx(p):
@@ -184,13 +216,13 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
 
         def fwd_step(x, bp):
             xn1 = vit_mod._layernorm(x, bp["norm1"], eps)
-            qkv_l = xn1 @ bp["qkv"]["kernel"]            # (n, 3D/k) local
-            if "bias" in bp["qkv"]:
-                qkv_l = qkv_l + bp["qkv"]["bias"]
+            qkv_pre_l = xn1 @ bp["qkv"]["kernel"]        # (n, 3D/k) local
+            qkv_l = qkv_pre_l + bp["qkv"]["bias"] \
+                if "bias" in bp["qkv"] else qkv_pre_l
             out_l = pk.attn_fwd_core(qkv_l, h_loc, d, d ** -0.5,
                                      mxu=attn_mxu)       # (n, D/k)
-            attn_out = jax.lax.psum(out_l @ bp["proj"]["kernel"],
-                                    model_axis) + bp["proj"]["bias"]
+            proj_pre = jax.lax.psum(out_l @ bp["proj"]["kernel"], model_axis)
+            attn_out = proj_pre + bp["proj"]["bias"]
             x_mid = x + attn_out
             xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
             with _ctx(mlp_precision):
@@ -198,9 +230,17 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
                 hg_l = jax.nn.gelu(h1_l, approximate=False)
                 mlp_out = jax.lax.psum(hg_l @ bp["fc2"]["kernel"],
                                        model_axis) + bp["fc2"]["bias"]
-            return x_mid + mlp_out, (x, x_mid, out_l)
+            # rich anchors (opt-in): saving qkv_pre/proj_pre skips the
+            # reverse step's two recompute dots. Same dots on the same
+            # operands, but NOT bitwise at XLA level (fusion differences,
+            # unlike the in-kernel megakernel anchors) and measured a
+            # wash on this chip — see make_tp_explain_fn
+            saved = ((x, x_mid, out_l, qkv_pre_l, proj_pre) if rich_anchors
+                     else (x, x_mid, out_l))
+            return x_mid + mlp_out, saved
 
-        x_final, (x_ins, x_mids, out_ls) = jax.lax.scan(fwd_step, x0, bp_all)
+        x_final, fwd_saved = jax.lax.scan(fwd_step, x0, bp_all)
+        x_ins, x_mids, out_ls = fwd_saved[:3]
 
         xn = vit_mod._layernorm(x_final, params["norm"], cfg.final_ln_eps)
         logits = xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
@@ -220,41 +260,71 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
 
         def rev_step(carry, xs):
             g_out, Rc = carry
-            x_in, x_mid, out_l, bp = xs
+            if rich_anchors:
+                x_in, x_mid, out_l, qkv_pre_l, proj_pre, bp = xs
+            else:
+                x_in, x_mid, out_l, bp = xs
             wqkv, wproj = bp["qkv"]["kernel"], bp["proj"]["kernel"]
             w1, w2 = bp["fc1"]["kernel"], bp["fc2"]["kernel"]
 
-            # recompute (replicated LNs; local qkv/proj partials)
+            # recompute (replicated LNs; local qkv/proj partials) — or the
+            # saved forward anchors
             xn1 = vit_mod._layernorm(x_in, bp["norm1"], eps)
-            qkv_pre_l = xn1 @ wqkv
+            if not rich_anchors:
+                qkv_pre_l = xn1 @ wqkv
+                proj_pre = jax.lax.psum(out_l @ wproj, model_axis)
             qkv_l = qkv_pre_l + bp["qkv"]["bias"] \
                 if "bias" in bp["qkv"] else qkv_pre_l
-            proj_pre = jax.lax.psum(out_l @ wproj, model_axis)
             attn_out = proj_pre + bp["proj"]["bias"]
-            xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
-            ax2 = jnp.abs(xn2)
-            with _ctx(mlp_precision):
-                fc1_pre_l = xn2 @ w1
-                h1_l = fc1_pre_l + bp["fc1"]["bias"]
-                hg_l = jax.nn.gelu(h1_l, approximate=False)
-                fc2_pre = jax.lax.psum(hg_l @ w2, model_axis)
-            mlp_out = fc2_pre + bp["fc2"]["bias"]
-
-            # ---- backward, MLP half ----
-            with _ctx(mlp_precision):
-                g_hg_l = g_out @ w2.T
-                g_h1_l = g_hg_l * vit_mod._gelu_grad(h1_l)
-                g_xn2 = jax.lax.psum(g_h1_l @ w1.T, model_axis)
-            g_mid = g_out + vit_mod._layernorm_bwd(g_xn2, x_mid, bp["norm2"],
-                                                   eps)
-
-            # ---- relprop, MLP half (add/clone replicated; rule dots at the
-            # rule-island precision, like the single-device path) ----
-            with _ctx(relprop_precision):
+            if mlp_kernel:
+                # ---- fused TP MLP core: two local kernels + five (n, D)
+                # psums (the single-device MLP core split at its collective
+                # points — see ops/pallas_kernels.py) ----
+                fc1_pre_l, fc2_pre_l, axw2_l, gxn2_l = pk.mlp_rev_tp_phase1(
+                    x_mid, g_out, bp["norm2"], bp["fc1"]["bias"], w1, w2,
+                    eps, mxu=mlp_mxu, rule_mxu=rule_mxu)
+                fc2_pre = jax.lax.psum(fc2_pre_l, model_axis)
+                axw2 = jax.lax.psum(axw2_l, model_axis)
+                g_xn2 = jax.lax.psum(gxn2_l, model_axis)
+                mlp_out = fc2_pre + bp["fc2"]["bias"]
+                g_mid = g_out + vit_mod._layernorm_bwd(
+                    g_xn2, x_mid, bp["norm2"], eps)
                 R1, R2 = rp.add_relprop(x_mid, mlp_out, Rc, variant)
-                R2_l = _lin_rule_row(hg_l, w2, R2, fc2_pre, model_axis)
-                R2 = _lin_rule_col(xn2, ax2, w1, R2_l, fc1_pre_l, model_axis)
-                Rm = rp.clone_relprop(x_mid, [R1, R2])
+                Sr = rp.safe_divide(R2, 0.5 * (fc2_pre + axw2))
+                num_w_l, num_a_l = pk.mlp_rev_tp_phase2(
+                    x_mid, Sr, fc1_pre_l, bp["norm2"], bp["fc1"]["bias"],
+                    w1, w2, eps, mxu=mlp_mxu, rule_mxu=rule_mxu)
+                xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
+                R2b = 0.5 * (xn2 * jax.lax.psum(num_w_l, model_axis)
+                             + jnp.abs(xn2)
+                             * jax.lax.psum(num_a_l, model_axis))
+                Rm = rp.clone_relprop(x_mid, [R1, R2b])
+            else:
+                xn2 = vit_mod._layernorm(x_mid, bp["norm2"], eps)
+                ax2 = jnp.abs(xn2)
+                with _ctx(mlp_precision):
+                    fc1_pre_l = xn2 @ w1
+                    h1_l = fc1_pre_l + bp["fc1"]["bias"]
+                    hg_l = jax.nn.gelu(h1_l, approximate=False)
+                    fc2_pre = jax.lax.psum(hg_l @ w2, model_axis)
+                mlp_out = fc2_pre + bp["fc2"]["bias"]
+
+                # ---- backward, MLP half ----
+                with _ctx(mlp_precision):
+                    g_hg_l = g_out @ w2.T
+                    g_h1_l = g_hg_l * vit_mod._gelu_grad(h1_l)
+                    g_xn2 = jax.lax.psum(g_h1_l @ w1.T, model_axis)
+                g_mid = g_out + vit_mod._layernorm_bwd(g_xn2, x_mid,
+                                                       bp["norm2"], eps)
+
+                # ---- relprop, MLP half (add/clone replicated; rule dots
+                # at the rule-island precision, like single-device) ----
+                with _ctx(relprop_precision):
+                    R1, R2 = rp.add_relprop(x_mid, mlp_out, Rc, variant)
+                    R2_l = _lin_rule_row(hg_l, w2, R2, fc2_pre, model_axis)
+                    R2 = _lin_rule_col(xn2, ax2, w1, R2_l, fc1_pre_l,
+                                       model_axis)
+                    Rm = rp.clone_relprop(x_mid, [R1, R2])
 
             g_om_l = g_mid @ wproj.T                     # (n, D/k)
 
@@ -282,9 +352,21 @@ def make_tp_explain_fn(cfg: ViTConfig, mesh: Mesh,
             gc = jax.lax.psum(gc_l, model_axis) / k
             return (g_in, R_in), gc
 
-        (_, _), gc_maps = jax.lax.scan(
-            rev_step, (g_final, R), (x_ins, x_mids, out_ls, bp_all),
-            reverse=True)
+        if unroll_rev:
+            # static Python loop: keeps the TP MLP kernels' raised
+            # scoped-VMEM caps (lost inside lax.scan bodies — CLAUDE.md)
+            carry = (g_final, R)
+            gcs = []
+            for i in range(cfg.depth - 1, -1, -1):
+                bp_i = jax.tree.map(lambda a, _i=i: a[_i], bp_all)
+                carry, gc_i = rev_step(
+                    carry, tuple(t[i] for t in fwd_saved) + (bp_i,))
+                gcs.append(gc_i)
+            gc_maps = jnp.stack(gcs[::-1])
+        else:
+            (_, _), gc_maps = jax.lax.scan(
+                rev_step, (g_final, R), fwd_saved + (bp_all,),
+                reverse=True)
 
         joint = pk.rollout_from_grad_cam(gc_maps, None, start_layer)
         return joint[0, cfg.num_prefix_tokens:]
