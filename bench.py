@@ -201,11 +201,11 @@ def _bench_extra_models(names, rng):
                 from transformer_explainability_tpu.explain.bert_generator \
                     import make_explain_fn as bert_fn
                 S = int(name.split("_s")[1]) if "_s" in name else 512
-                # measured optima (PERF.md round 3c batch sweep): S=512
-                # plateaus at B=48 (~437/s vs ~260 at the old B=8), S=128
-                # at B=128
+                # measured optima (PERF.md round 4f steady-state re-sweep):
+                # S=512 plateaus 48-64 (463.5/466.1 — keep 48), S=128 keeps
+                # creeping to B=256 (2403 @128 -> 2565 @256)
                 B = int(os.environ.get(
-                    "BENCH_BERT_BATCH", "48" if S >= 384 else "128"))
+                    "BENCH_BERT_BATCH", "48" if S >= 384 else "256"))
                 cfg = BertConfig()
                 params = bert_init(jax.random.PRNGKey(0), cfg)
                 fn = bert_fn(cfg, "transformer_attribution",
