@@ -118,3 +118,18 @@ def test_pp_pspecs_cover_param_tree():
                     jax.tree.map(lambda s: 0, specs,
                                  is_leaf=lambda x: hasattr(x, "_normalized_spec")
                                  or type(x).__name__ == "PartitionSpec")))
+
+
+def test_pp_forward_distilled_matches_single():
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                    num_heads=4, num_classes=10, distilled=True)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.randn(4, 3, 32, 32).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        want = np.asarray(jax.vmap(lambda im: forward(params, im, cfg))(imgs))
+    mesh = make_pipeline_mesh(n_data=2, n_stage=2)
+    sp = shard_params_pipeline(params, mesh, cfg)
+    fn = make_pp_forward_fn(cfg, mesh, matmul_precision="float32")
+    np.testing.assert_allclose(np.asarray(fn(sp, imgs)), want,
+                               rtol=2e-5, atol=1e-6)
