@@ -64,9 +64,10 @@ def test_pp_forward_no_remat_matches():
 
 def test_pp_train_step_matches_single_device():
     """One PP train step == one single-device train step: same loss, same
-    updated parameters (the pipeline transpose + stage-psum gradient
-    reduction is exactly the whole-graph gradient)."""
-    opt = train_mod.make_optimizer(lr=1e-3)
+    updated parameters. SGD — linear in the gradients — so the comparison
+    is scale-sensitive: it catches the check_vma=False psum-transpose
+    n_stage factor that Adam's (scale-invariant) first step hides."""
+    opt = optax.sgd(1e-2)
     imgs, labels = _batch(8, seed=2)
 
     # single-device reference
@@ -133,3 +134,71 @@ def test_pp_forward_distilled_matches_single():
     fn = make_pp_forward_fn(cfg, mesh, matmul_precision="float32")
     np.testing.assert_allclose(np.asarray(fn(sp, imgs)), want,
                                rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BERT PP
+# ---------------------------------------------------------------------------
+
+from transformer_explainability_tpu.models import bert as bert_mod
+from transformer_explainability_tpu.models.bert import BertConfig
+from transformer_explainability_tpu.parallel.pipeline import (
+    make_pp_bert_forward_fn, make_pp_bert_train_step,
+    shard_bert_params_pipeline)
+
+BCFG = BertConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
+                  intermediate_size=64, max_position_embeddings=32,
+                  num_labels=3)
+
+
+def _bert_batch(B, S=16, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = jnp.asarray(rng.randint(0, BCFG.vocab_size, (B, S)), jnp.int32)
+    mask = np.ones((B, S), np.float32)
+    mask[0, S // 2:] = 0                      # one ragged row
+    labels = jnp.asarray(rng.randint(0, BCFG.num_labels, B), jnp.int32)
+    return ids, jnp.asarray(mask), labels
+
+
+def test_pp_bert_forward_matches_single():
+    params = bert_mod.init_params(jax.random.PRNGKey(0), BCFG)
+    ids, mask, _ = _bert_batch(8)
+    with jax.default_matmul_precision("float32"):
+        want = np.asarray(jax.vmap(
+            lambda i, m: bert_mod.forward(params, i, m, BCFG))(ids, mask))
+    mesh = make_pipeline_mesh(n_data=2, n_stage=4)
+    sp = shard_bert_params_pipeline(params, mesh, BCFG)
+    fn = make_pp_bert_forward_fn(BCFG, mesh, matmul_precision="float32")
+    np.testing.assert_allclose(np.asarray(fn(sp, ids, mask)), want,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pp_bert_train_step_matches_single_device():
+    # SGD: linear in the gradients, so the comparison tests the pipeline
+    # gradient itself (Adam's g/(sqrt(v)+eps) amplifies f32 rounding on
+    # near-zero grads into O(1e-2) update differences)
+    opt = optax.sgd(1e-2)
+    ids, mask, labels = _bert_batch(8, seed=2)
+    params0 = bert_mod.init_params(jax.random.PRNGKey(2), BCFG)
+
+    def loss_fn(p):
+        with jax.default_matmul_precision("float32"):
+            logits = jax.vmap(
+                lambda i, m: bert_mod.forward(p, i, m, BCFG))(ids, mask)
+        return train_mod.cross_entropy(logits, labels)
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params0)
+    updates, _ = opt.update(grads, opt.init(params0), params0)
+    ref_params = optax.apply_updates(params0, updates)
+
+    mesh = make_pipeline_mesh(n_data=2, n_stage=2)
+    sp = shard_bert_params_pipeline(params0, mesh, BCFG)
+    step = make_pp_bert_train_step(BCFG, opt, mesh, microbatches=2,
+                                   matmul_precision="float32")
+    pp_params, _, pp_loss = step(sp, opt.init(sp), ids, mask, labels)
+    np.testing.assert_allclose(float(pp_loss), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(pp_params)),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=2e-5)

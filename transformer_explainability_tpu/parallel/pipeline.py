@@ -109,6 +109,30 @@ def shard_params_pipeline(params, mesh: Mesh, cfg: ViTConfig):
     return jax.device_put(params, shardings)
 
 
+def _gpipe_schedule(x0_mb, local_blocks, n_stage: int, M: int):
+    """The GPipe ring schedule, model-agnostic. ``x0_mb``: (M, mb, ...) —
+    stage 0's microbatch ingest; ``local_blocks(x, mb_idx) -> y`` applies
+    this device's depth shard (``mb_idx`` is the traced microbatch index the
+    stage is working on — for per-microbatch side inputs like attention
+    masks). Returns the (M*mb merged on the leading axes) finished outputs,
+    valid on the LAST stage (garbage elsewhere — select/broadcast after).
+    Must run inside ``shard_map`` on a mesh with a ``stage`` axis."""
+    s = lax.axis_index("stage")
+    ring = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+
+    def pipe_step(recv, t):
+        fresh = x0_mb[jnp.clip(t, 0, M - 1)]
+        x_in = jnp.where(s == 0, fresh, recv)
+        y = local_blocks(x_in, jnp.clip(t - s, 0, M - 1))
+        nxt = lax.ppermute(y, "stage", ring)
+        return nxt, y
+
+    T = M + n_stage - 1
+    _, ys = lax.scan(pipe_step, jnp.zeros_like(x0_mb[0]), jnp.arange(T))
+    # the last stage's steps [n_stage-1, T) hold the M finished microbatches
+    return ys[n_stage - 1:]
+
+
 def _pipeline_logits(params, images, cfg: ViTConfig, n_stage: int,
                      microbatches: int, attn_precision: Optional[str],
                      remat: bool):
@@ -137,24 +161,12 @@ def _pipeline_logits(params, images, cfg: ViTConfig, n_stage: int,
     if remat:
         block_body = jax.checkpoint(block_body)
 
-    def local_blocks(x):
+    def local_blocks(x, _mb_idx):
         y, _ = lax.scan(block_body, x, params["blocks"])
         return y
 
-    ring = [(i, (i + 1) % n_stage) for i in range(n_stage)]
-
-    def pipe_step(recv, t):
-        fresh = x0_mb[jnp.clip(t, 0, M - 1)]
-        x_in = jnp.where(s == 0, fresh, recv)
-        y = local_blocks(x_in)
-        nxt = lax.ppermute(y, "stage", ring)
-        return nxt, y
-
-    recv0 = jnp.zeros_like(x0_mb[0])
-    T = M + n_stage - 1
-    _, ys = lax.scan(pipe_step, recv0, jnp.arange(T))
-    # the last stage's steps [n_stage-1, T) hold the M finished microbatches
-    x_final = ys[n_stage - 1:].reshape(B_local, cfg.num_tokens, cfg.embed_dim)
+    ys = _gpipe_schedule(x0_mb, local_blocks, n_stage, M)
+    x_final = ys.reshape(B_local, cfg.num_tokens, cfg.embed_dim)
 
     xn = jax.vmap(lambda x: vit_mod._layernorm(x, params["norm"],
                                                cfg.final_ln_eps))(x_final)
@@ -218,6 +230,12 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     def loss_and_grads(params, images, labels):
         loss, grads = jax.value_and_grad(local_loss)(params, images, labels)
         loss = lax.pmean(loss, "data")
+        # Under check_vma/check_rep=False the transpose of the logits-
+        # broadcast psum is psum (shard_map cannot prove the cotangent is
+        # replicated), so every upstream gradient arrives EXACTLY n_stage
+        # times too large (the per-stage CE cotangents are deterministic-
+        # identical; verified x2/x4 at n_stage 2/4). Divide it back out.
+        grads = jax.tree.map(lambda g: g / n_stage, grads)
         # block grads live on their owning stage (P("stage") out spec);
         # replicated-leaf contributions live only on the stage(s) that use
         # them (embed on 0, norm/head on the last; zero elsewhere, since the
@@ -268,3 +286,162 @@ def init_pp_train_state(key, cfg: ViTConfig, optimizer, mesh: Mesh):
     params = shard_params_pipeline(params, mesh, cfg)
     opt_state = optimizer.init(params)
     return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# BERT pipeline parallelism (same GPipe ring; ``params["layers"]`` is the
+# stacked depth axis, the attention mask rides along as a per-microbatch
+# side input selected by the schedule's mb_idx).
+# ---------------------------------------------------------------------------
+
+from transformer_explainability_tpu.models import bert as bert_mod  # noqa: E402
+from transformer_explainability_tpu.models.bert import BertConfig  # noqa: E402
+
+
+def bert_pipeline_pspecs(cfg: BertConfig):
+    """Layer leaves sharded on the stacked depth axis over ``stage``;
+    embeddings/pooler/classifier replicated."""
+    shapes = jax.eval_shape(lambda k: bert_mod.init_params(k, cfg),
+                            jax.random.PRNGKey(0))
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: (P("stage") if getattr(path[0], "key", None)
+                         == "layers" else P()), shapes)
+
+
+def shard_bert_params_pipeline(params, mesh: Mesh, cfg: BertConfig):
+    pspecs = bert_pipeline_pspecs(cfg)
+    shardings = jax.tree.map(lambda sp: NamedSharding(mesh, sp), pspecs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)
+
+
+def _bert_pipeline_logits(params, input_ids, attention_mask,
+                          cfg: BertConfig, n_stage: int, microbatches: int,
+                          attn_precision: Optional[str], remat: bool):
+    """(B_local, S) ids/mask -> (B_local, num_labels) logits, identical on
+    every stage after the final psum broadcast. Eval-mode layers (the
+    explain/scoring forward — dropout-free, like the ViT PP path)."""
+    s = lax.axis_index("stage")
+    B_local, S = input_ids.shape
+    M = microbatches
+    assert B_local % M == 0, (B_local, M)
+    mb = B_local // M
+
+    tt = jnp.zeros((S,), jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    x0 = jax.vmap(lambda ids: bert_mod.embed(params, ids, tt, pos, cfg))(
+        input_ids)
+    x0_mb = x0.reshape(M, mb, S, cfg.hidden_size)
+    ext = ((1.0 - attention_mask.astype(x0.dtype)) * cfg.mask_value)
+    ext_mb = ext.reshape(M, mb, S)
+
+    def layer_body(carry, lp):
+        x, em = carry
+        y = jax.vmap(lambda xi, emi: bert_mod._layer_acts(
+            xi, None, lp, emi, cfg,
+            attn_precision=attn_precision)[1])(x, em)
+        return (y, em), None
+
+    if remat:
+        layer_body = jax.checkpoint(layer_body)
+
+    def local_blocks(x, mb_idx):
+        em = ext_mb[mb_idx]
+        (y, _), _ = lax.scan(layer_body, (x, em), params["layers"])
+        return y
+
+    ys = _gpipe_schedule(x0_mb, local_blocks, n_stage, M)
+    seq_out = ys.reshape(B_local, S, cfg.hidden_size)
+    pooled = jnp.tanh(seq_out[:, 0] @ params["pooler"]["kernel"]
+                      + params["pooler"]["bias"])
+    logits = (pooled @ params["classifier"]["kernel"]
+              + params["classifier"]["bias"])
+    return lax.psum(jnp.where(s == n_stage - 1, logits, 0.0), "stage")
+
+
+def make_pp_bert_forward_fn(cfg: BertConfig, mesh: Mesh,
+                            microbatches: Optional[int] = None,
+                            matmul_precision: str = "bfloat16",
+                            attn_precision: Optional[str] = None,
+                            remat: bool = True):
+    """Pipeline-parallel BERT classification forward:
+    ``fn(params, input_ids, attention_mask) -> logits``."""
+    n_stage = mesh.shape["stage"]
+    assert cfg.num_layers % n_stage == 0, (cfg.num_layers, n_stage)
+    M = microbatches or n_stage
+    pspecs = bert_pipeline_pspecs(cfg)
+
+    def body(params, ids, mask):
+        with jax.default_matmul_precision(matmul_precision):
+            return _bert_pipeline_logits(params, ids, mask, cfg, n_stage,
+                                         M, attn_precision, remat)
+
+    fn = shard_map(body, mesh, in_specs=(pspecs, P("data"), P("data")),
+                   out_specs=P("data"))
+    return jax.jit(fn)
+
+
+def make_pp_bert_train_step(cfg: BertConfig, optimizer, mesh: Mesh,
+                            microbatches: Optional[int] = None,
+                            matmul_precision: str = "bfloat16",
+                            attn_precision: Optional[str] = None,
+                            remat: bool = True):
+    """Pipeline-parallel BERT classifier fine-tune step (the ERASER
+    pipeline's training role, eval-mode forward): ``step(params, opt_state,
+    input_ids, attention_mask, labels) -> (params, opt_state, loss)``."""
+    from transformer_explainability_tpu import train as train_mod
+
+    n_stage = mesh.shape["stage"]
+    assert cfg.num_layers % n_stage == 0, (cfg.num_layers, n_stage)
+    M = microbatches or n_stage
+    pspecs = bert_pipeline_pspecs(cfg)
+
+    def local_loss(params, ids, mask, labels):
+        with jax.default_matmul_precision(matmul_precision):
+            logits = _bert_pipeline_logits(params, ids, mask, cfg, n_stage,
+                                           M, attn_precision, remat)
+        return train_mod.cross_entropy(logits, labels)
+
+    def loss_and_grads(params, ids, mask, labels):
+        loss, grads = jax.value_and_grad(local_loss)(params, ids, mask,
+                                                     labels)
+        loss = lax.pmean(loss, "data")
+        # undo the psum-transpose n_stage factor (see make_pp_train_step)
+        grads = jax.tree.map(lambda g: g / n_stage, grads)
+        grads = {
+            k: jax.tree.map(
+                (lambda g: lax.pmean(g, "data")) if k == "layers" else
+                (lambda g: lax.pmean(lax.psum(g, "stage"), "data")), v)
+            for k, v in grads.items()}
+        return loss, grads
+
+    lg = shard_map(loss_and_grads, mesh,
+                   in_specs=(pspecs, P("data"), P("data"), P("data")),
+                   out_specs=(P(), pspecs))
+
+    psh = jax.tree.map(lambda sp: NamedSharding(mesh, sp), pspecs,
+                       is_leaf=lambda x: isinstance(x, P))
+    rep = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+    param_shapes = jax.eval_shape(
+        lambda k: bert_mod.init_params(k, cfg), jax.random.PRNGKey(0))
+    params_struct = jax.tree_util.tree_structure(param_shapes)
+
+    def _is_param_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == params_struct
+        except Exception:
+            return False
+
+    opt_shapes = jax.eval_shape(optimizer.init, param_shapes)
+    osh = jax.tree.map(lambda n: psh if _is_param_tree(n) else rep,
+                       opt_shapes, is_leaf=_is_param_tree)
+
+    def step(params, opt_state, ids, mask, labels):
+        loss, grads = lg(params, ids, mask, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, in_shardings=(psh, osh, dsh, dsh, dsh),
+                   out_shardings=(psh, osh, rep))
