@@ -522,8 +522,11 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
     (numpy; host-side splicing; ``n_valid`` limits fallbacks to the first
     n rows when the batch is shape-padded), or with ``return_info=True``
     -> ``(heatmaps, info)`` where ``info = {"flagged": bool (B,),
-    "score": float (B,)}`` (score = prod-vs-f32 corr in strict mode, max
-    envelope violation count in envelope mode).
+    "score": float (B,)}`` (score = prod-vs-f32 corr in strict mode; in
+    envelope mode it is the raw ``g_growth`` diagnostic — DIAG_FIELDS
+    column 6, the single most discriminative trust-region statistic —
+    NOT a violation count; the flag decision itself uses all bounds via
+    ``_envelope_flags``).
 
     ``fallback``: ``"sync"`` (default) re-runs flagged samples on the host
     CPU before returning; ``"defer"`` returns the fast heatmaps untouched
@@ -558,13 +561,19 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
                                start_layer=start_layer,
                                with_diagnostics=True, **kwargs)
 
-    cpu_state = {}        # params-id -> CPU copy; plus the compiled fallback
+    cpu_state = {}        # source pytree -> CPU copy; plus compiled fallback
 
     def _fallback(params, img, index):
         cpu = jax.devices("cpu")[0]
+        # Cache keyed on id(params), but holding a strong reference to the
+        # keyed pytree ("src"): without it a GC'd pytree's id can be
+        # recycled by a NEW params object, and flagged samples would re-run
+        # against the WRONG weights — on the exact-correctness path
+        # (ADVICE round 4; the weight-mismatch precedent is PERF.md 4a).
         key = id(params)
-        if cpu_state.get("key") != key:
+        if cpu_state.get("key") != key or cpu_state.get("src") is not params:
             cpu_state["key"] = key
+            cpu_state["src"] = params
             cpu_state["params"] = jax.device_put(params, cpu)
         if "fn" not in cpu_state:
             def single(p, im, ix):

@@ -30,6 +30,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map as _shard_map        # jax >= 0.8
 
+    # JAX-VERSION DEPENDENCY (audit this shim on any jax upgrade):
+    # check_vma=False changes shard_map's AD transpose — the transpose of
+    # a broadcast psum is another psum (replication can't be proven), so
+    # gradients through psum'd values arrive n_axis times too large.
+    # parallel/pipeline.py's train step compensates with an explicit
+    # grads/n_stage divide, pinned by the scale-sensitive
+    # test_pp_train_step_matches_single_device (fast tier, the canary).
+    # If a jax upgrade changes this transpose (or check_vma is enabled
+    # here), that divide silently mis-scales gradients by 1/n_stage.
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
                           out_specs=out_specs, check_vma=False)

@@ -5,11 +5,17 @@ build standardizes on ``jax.profiler`` traces + transfer-synced wall timing).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Optional
 
 import jax
 import numpy as np
+
+
+class TraceRefusedError(RuntimeError):
+    """Raised when ``trace`` is invoked on a relay (axon) backend without
+    the explicit ``TE_TPU_ALLOW_TRACE=1`` override."""
 
 
 @contextlib.contextmanager
@@ -18,7 +24,23 @@ def trace(logdir: str = "/tmp/jax-trace"):
 
         with profiling.trace("/tmp/trace"):
             fn(args)
+
+    HAZARD GUARD: on the axon relay backend ``jax.profiler.trace`` has
+    taken the relay down for every client — a round-4 attempt (production
+    program, B=104, 4 reps) hung before writing any trace file and left
+    ``jax.devices()`` hanging in every new process for hours (commit
+    2a9740d; CLAUDE.md "relay-profiler hazard"). Tracing on axon is
+    therefore REFUSED unless ``TE_TPU_ALLOW_TRACE=1`` is set; if you must
+    trace, use small batches, one rep, background the run with a timeout,
+    and expect to lose the relay.
     """
+    if (jax.default_backend() == "axon"
+            and os.environ.get("TE_TPU_ALLOW_TRACE", "") != "1"):
+        raise TraceRefusedError(
+            "jax.profiler.trace on the axon relay backend is disabled: a "
+            "previous trace hung the relay for all clients (multi-hour "
+            "outage; see CLAUDE.md). Set TE_TPU_ALLOW_TRACE=1 to override "
+            "at your own risk (small batches, one rep, timeout).")
     jax.profiler.start_trace(logdir)
     try:
         yield logdir
