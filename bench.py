@@ -254,7 +254,46 @@ def _emit(out):
     sys.stdout.flush()
 
 
+def _preflight_backend(timeout_s=None):
+    """Probe the default backend in a SUBPROCESS with a hard timeout.
+
+    When the axon relay is in its hung state, backend init blocks FOREVER
+    (uncatchable in-process — it took both round-4 driver artifacts down,
+    rc=124 with no output). A sequential subprocess probe is safe (one
+    relay client at a time) and lets the bench emit an explicit error
+    artifact instead of hanging silently. Returns None if healthy, else
+    the error string."""
+    import subprocess
+    timeout_s = timeout_s or float(os.environ.get("BENCH_PREFLIGHT_S", "240"))
+    code = "import jax; print('ndev=%d' % len(jax.devices()))"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"backend preflight probe hung >{timeout_s:.0f}s — the "
+                "axon relay is in its hung state (needs external restart)")
+    if proc.returncode != 0 or "ndev=" not in proc.stdout:
+        return (f"backend preflight probe failed rc={proc.returncode}: "
+                f"{(proc.stderr or proc.stdout)[-300:]}")
+    return None
+
+
 def main():
+    err = _preflight_backend()
+    if err is not None:
+        _emit({
+            "metric": ("vit_b16_transformer_attribution_explanations"
+                       "_per_sec_per_chip"),
+            "value": 0.0,
+            "unit": "explanations/s",
+            "vs_baseline": 0.0,
+            "stage": "preflight-failed",
+            "error": err,
+        })
+        print(f"# {err}", file=sys.stderr)
+        return
+
     import jax
     from transformer_explainability_tpu.models.vit import (
         VIT_BASE_16_224, init_params)

@@ -243,3 +243,100 @@ def test_visualize_mesh_matches_unsharded(tiny_params, tmp_path):
     _, va, _ = da[0:4]
     _, vb, _ = db[0:4]
     np.testing.assert_allclose(vb, va, rtol=1e-5, atol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize("neg", [False, True])
+def test_perturbation_eval_parity_vs_reference(tmp_path, neg):
+    """Harness-vs-harness: run the REFERENCE's stage-B eval loop
+    (baselines/ViT/pertubation_eval_from_hdf5.py:25-128 — its actual
+    ``eval`` function, module globals patched the way its __main__ sets
+    them) on a results.hdf5 OUR eval/visualize.py wrote, and assert all 6
+    saved arrays match eval/perturbation.py on shared random weights.
+
+    224x224 images are required (the reference hard-codes base_size=224*224
+    for --scale per), so the model is a thin-width ViT at full resolution.
+    """
+    pytest.importorskip("h5py")
+    import os
+    import sys
+    import types
+    import torch
+
+    ref_vit_dir = "/root/reference/baselines/ViT"
+    if ref_vit_dir not in sys.path:
+        sys.path.insert(0, ref_vit_dir)
+    import pertubation_eval_from_hdf5 as ref_pert
+    from ViT_new import VisionTransformer as RefViT
+
+    cfg = ViTConfig(img_size=224, patch_size=16, embed_dim=24, depth=2,
+                    num_heads=4, num_classes=10)
+    torch.manual_seed(0)
+    ref_model = RefViT(img_size=224, patch_size=16, embed_dim=24, depth=2,
+                       num_heads=4, mlp_ratio=4., qkv_bias=True,
+                       num_classes=10)
+    ref_model.eval()
+    from transformer_explainability_tpu.params.convert import (
+        vit_params_from_torch_state_dict)
+    params = vit_params_from_torch_state_dict(ref_model.state_dict(), cfg)
+
+    # stage A: OUR writer produces the hdf5 both harnesses will consume.
+    # Half the targets are set to the model's own predictions so the hits
+    # arrays are non-trivially mixed (all-zero hits would make the exact
+    # equality checks below vacuous).
+    rng = np.random.RandomState(1)
+    n, B = 4, 2
+    all_imgs = rng.rand(n, 3, 224, 224).astype(np.float32)
+    all_tgts = rng.randint(0, cfg.num_classes, n)
+    with torch.no_grad():
+        base_pred = ref_model(
+            torch.tensor((all_imgs - 0.5) / 0.5)).argmax(1).numpy()
+    all_tgts[:n // 2] = base_pred[:n // 2]
+
+    def data_iter():
+        for s in range(0, n, B):
+            yield all_imgs[s:s + B], all_tgts[s:s + B]
+
+    from transformer_explainability_tpu.eval import visualize as vmod
+    out_h5 = str(tmp_path / "results.hdf5")
+    assert vmod.compute_saliency_and_save(
+        data_iter(), params, out_h5, cfg,
+        method="transformer_attribution", vis_class="target") == n
+
+    # stage B, reference harness: patch the globals its __main__ builds
+    ref_ds = ref_pert.ImagenetResults(str(tmp_path))
+    ref_pert.imagenet_ds = ref_ds
+    ref_pert.sample_loader = torch.utils.data.DataLoader(
+        ref_ds, batch_size=B, shuffle=False)
+    ref_pert.model = ref_model
+    ref_pert.device = "cpu"
+    ref_dir = tmp_path / "ref_out"
+    os.makedirs(ref_dir)
+    args = types.SimpleNamespace(scale="per", neg=neg, wrong=False,
+                                 experiment_dir=str(ref_dir))
+    ref_pert.eval(args)
+
+    # stage B, our harness, same hdf5 + weights
+    ours = pert_mod.run_perturbation_eval(
+        ImagenetResults(out_h5), params, cfg, neg=neg, batch_size=B,
+        progress=False)
+
+    for name, exact in (("model_hits", True),
+                        ("model_dissimilarities", False),
+                        ("perturbations_hits", True),
+                        ("perturbations_dissimilarities", False),
+                        ("perturbations_logit_diff", False),
+                        ("perturbations_prob_diff", False)):
+        want = np.load(ref_dir / f"{name}.npy")
+        got = ours[name]
+        assert got.shape == want.shape, name
+        if exact:
+            np.testing.assert_array_equal(got, want, err_msg=name)
+        else:
+            # torch-CPU vs XLA-CPU f32 logits differ by ~5.5e-4 abs at
+            # 224 res (pure accumulation-order noise, measured in dev);
+            # the log-prob-ratio stats amplify that a few x. Semantic
+            # divergences (wrong top-k set, wrong second-prob definition)
+            # are O(0.1-1) and cannot hide below this tolerance.
+            np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3,
+                                       err_msg=name)

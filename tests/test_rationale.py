@@ -315,3 +315,45 @@ def test_shipped_task_configs_schema():
         assert isinstance(ec["classes"], list) and len(ec["classes"]) >= 2
         for k in ("batch_size", "epochs", "patience", "lr", "max_grad_norm"):
             assert k in ec, (p, k)
+
+
+def test_hard_rationale_decode_parity_vs_reference():
+    """Harness-vs-harness decode: our decode_hard_rationales vs the
+    reference's verbatim bert_pipeline.py:567-582 loop (re-run
+    ``cam.topk(k)`` per k, appending to ONE list across iterations) on the
+    same per-word scores. The reference's k-file carries duplicate spans
+    (each smaller top-k re-appended); the ERASER scorer consumes token
+    SETS, so parity is set-equality per k — and our emission must be
+    duplicate-free and cumulative."""
+    import torch
+    from transformer_explainability_tpu.rationale.pipeline import (
+        decode_hard_rationales)
+
+    rng = np.random.RandomState(0)
+    word_scores = rng.rand(97)          # >= 80 so reference topk(80) works
+    topk_range = range(5, 85, 5)
+
+    # reference decode, verbatim semantics (:567-582)
+    cam = torch.tensor(word_scores)
+    hard_rationales = []
+    ref_per_k = []
+    for res, i in enumerate(topk_range):
+        _, indices = cam.topk(k=i)
+        for index in indices.tolist():
+            hard_rationales.append({"start_token": index,
+                                    "end_token": index + 1})
+        ref_per_k.append(list(hard_rationales))
+
+    ours_per_k = decode_hard_rationales(word_scores, topk_range)
+    assert len(ours_per_k) == len(ref_per_k)
+    for k, ours, ref in zip(topk_range, ours_per_k, ref_per_k):
+        ours_set = {(h["start_token"], h["end_token"]) for h in ours}
+        ref_set = {(h["start_token"], h["end_token"]) for h in ref}
+        assert ours_set == ref_set, k
+        # ours: exactly the top-k spans, each once, cumulative
+        assert len(ours) == k
+        assert ours[:k - 5] == ours_per_k[max(0, k // 5 - 2)][:k - 5]
+
+    # short-doc robustness: the reference's topk would raise; ours truncates
+    short = decode_hard_rationales(rng.rand(7), topk_range)
+    assert len(short[0]) == 5 and all(len(s) == 7 for s in short[1:])

@@ -278,6 +278,27 @@ def train_classifier(params, cfg: BertConfig, train: List[Annotation],
 # Explanation + hard-rationale decoding
 # ---------------------------------------------------------------------------
 
+def decode_hard_rationales(word_scores, topk_range=range(5, 85, 5)):
+    """Per-k hard-rationale spans from per-word scores — the decode math of
+    reference ``bert_pipeline.py:567-582``. Token-SET identical to the
+    reference for every k: the reference re-runs ``cam.topk(k)`` each
+    iteration and keeps appending to one list, so its k-file carries the
+    top-5 spans again inside the top-10 etc. (duplicates, which the ERASER
+    scorer collapses to a token set); this decode emits each span once,
+    cumulatively, and tolerates docs shorter than k (the reference's
+    ``topk`` would raise). Returns ``[spans_for_k for k in topk_range]``
+    where each span is ``{"start_token": i, "end_token": i+1}``."""
+    hard = []
+    out = []
+    order = np.argsort(word_scores)[::-1]
+    for k in topk_range:
+        for idx in order[len(hard):min(k, len(order))]:
+            hard.append({"start_token": int(idx),
+                         "end_token": int(idx) + 1})
+        out.append(list(hard))
+    return out
+
+
 def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                        interned, documents: Dict[str, str],
                        classes: Dict[str, int], tokenizer, output_dir: str,
@@ -362,16 +383,10 @@ def explain_test_split(params, cfg: BertConfig, test: List[Annotation],
                     soft = np.zeros(len(doc_words))
                     soft[:len(word_scores)] = word_scores
                     soft = soft.tolist()
-                hard = []
-                order = np.argsort(word_scores)[::-1]
+                per_k = decode_hard_rationales(word_scores, topk_range)
                 for fi, k in enumerate(topk_range):
-                    # cumulative top-k like the reference (:567-582 keeps
-                    # appending to the same list across k)
-                    for idx in order[len(hard):min(k, len(order))]:
-                        hard.append({"start_token": int(idx),
-                                     "end_token": int(idx) + 1})
                     rat = {"docid": doc_name,
-                           "hard_rationale_predictions": list(hard)}
+                           "hard_rationale_predictions": per_k[fi]}
                     if soft is not None:
                         rat["soft_rationale_predictions"] = soft
                     # NOTE: the reference writes the docid as annotation_id
