@@ -107,6 +107,59 @@ def test_pp_train_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.parametrize("n_data,n_stage,micro", [(2, 4, None),  # M = n_stage
+                                                  (2, 2, 4)])    # M > n_stage
+def test_pp_explain_matches_single(n_data, n_stage, micro):
+    """Pipeline-parallel transformer_attribution == single-device
+    explain_single: the reverse ring is a pure re-scheduling of the same
+    relprop math, so heatmaps must match for any (n_stage, M) schedule.
+    Mixed indices exercise both the fixed-class and argmax seed paths."""
+    from transformer_explainability_tpu.explain.generator import explain_single
+    from transformer_explainability_tpu.parallel.pipeline import (
+        make_pp_explain_fn)
+
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    imgs, _ = _batch(8, seed=4)
+    idx = jnp.asarray([3, -1, 0, 7, -1, 5, 1, -1], jnp.int32)
+    want = np.asarray(jax.vmap(
+        lambda im, ix: explain_single(params, im, ix, CFG,
+                                      method="transformer_attribution")
+    )(imgs, idx))
+
+    mesh = make_pipeline_mesh(n_data=n_data, n_stage=n_stage)
+    sp = shard_params_pipeline(params, mesh, CFG)
+    fn = make_pp_explain_fn(CFG, mesh, microbatches=micro,
+                            matmul_precision="float32")
+    got = np.asarray(fn(sp, imgs, idx))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_pp_explain_start_layer_and_distilled():
+    """start_layer plumbs into the rollout chain; the distilled (DeiT)
+    head's two-token seed path works under PP."""
+    from transformer_explainability_tpu.explain.generator import explain_single
+    from transformer_explainability_tpu.parallel.pipeline import (
+        make_pp_explain_fn)
+
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=4,
+                    num_heads=4, num_classes=10, distilled=True)
+    params = init_params(jax.random.PRNGKey(6), cfg)
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randn(4, 3, 32, 32).astype(np.float32))
+    idx = jnp.asarray([2, -1, 4, 1], jnp.int32)
+    want = np.asarray(jax.vmap(
+        lambda im, ix: explain_single(params, im, ix, cfg, start_layer=1)
+    )(imgs, idx))
+
+    mesh = make_pipeline_mesh(n_data=2, n_stage=2)
+    sp = shard_params_pipeline(params, mesh, cfg)
+    fn = make_pp_explain_fn(cfg, mesh, start_layer=1,
+                            matmul_precision="float32")
+    np.testing.assert_allclose(np.asarray(fn(sp, imgs, idx)), want,
+                               rtol=2e-4, atol=1e-7)
+
+
 def test_pp_pspecs_cover_param_tree():
     """Every param leaf has a spec (incl. the distilled variants)."""
     for distilled in (False, True):

@@ -133,6 +133,65 @@ def _gpipe_schedule(x0_mb, local_blocks, n_stage: int, M: int):
     return ys[n_stage - 1:]
 
 
+def _gpipe_schedule_aux(x0_mb, local_blocks, n_stage: int, M: int):
+    """:func:`_gpipe_schedule` variant whose ``local_blocks(x, mb_idx) ->
+    (y, aux)`` also emits per-step auxiliaries (e.g. per-block anchors the
+    reverse pass will consume). Returns ``(ys, aux)`` where ``aux`` holds
+    THIS stage's M valid steps (stage ``s`` works on microbatch ``t - s`` at
+    step ``t``, so its window is ``[s, s + M)``), leaves stacked
+    ``(M, ...)`` in microbatch order."""
+    s = lax.axis_index("stage")
+    ring = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+
+    def pipe_step(recv, t):
+        fresh = x0_mb[jnp.clip(t, 0, M - 1)]
+        x_in = jnp.where(s == 0, fresh, recv)
+        y, aux = local_blocks(x_in, jnp.clip(t - s, 0, M - 1))
+        nxt = lax.ppermute(y, "stage", ring)
+        return nxt, (y, aux)
+
+    T = M + n_stage - 1
+    _, (ys, auxs) = lax.scan(pipe_step, jnp.zeros_like(x0_mb[0]),
+                             jnp.arange(T))
+    aux = jax.tree.map(
+        lambda a: lax.dynamic_slice_in_dim(a, s, M, axis=0), auxs)
+    return ys[n_stage - 1:], aux
+
+
+def _gpipe_schedule_rev(c0_mb, local_rev, n_stage: int, M: int):
+    """The REVERSE GPipe ring: the mirror schedule of
+    :func:`_gpipe_schedule_aux` for walking the block stack backwards
+    (relprop / hand-written VJPs — the explicit form of the transpose
+    ``ppermute`` the training path's autodiff already exercises).
+
+    ``c0_mb``: pytree of (M, mb, ...) seed carries, ingested by the LAST
+    stage; ``local_rev(c, mb_idx) -> (c_out, aux)`` applies this stage's
+    depth shard in reverse. Stage ``s`` works on microbatch ``t - (n_stage
+    - 1 - s)`` at step ``t`` and hands its carry to stage ``s - 1``.
+    Returns ``aux`` for this stage's M valid steps (window
+    ``[n_stage - 1 - s, n_stage - 1 - s + M)``), stacked in microbatch
+    order. The finished carries land on stage 0 and are not returned —
+    transformer_attribution's output is the per-block cam maps, not the
+    input relevance."""
+    s = lax.axis_index("stage")
+    last = n_stage - 1
+    ring = [(i, (i - 1) % n_stage) for i in range(n_stage)]
+
+    def pipe_step(recv, t):
+        fresh = jax.tree.map(lambda a: a[jnp.clip(t, 0, M - 1)], c0_mb)
+        c_in = jax.tree.map(lambda f, r: jnp.where(s == last, f, r),
+                            fresh, recv)
+        c_out, aux = local_rev(c_in, jnp.clip(t - (last - s), 0, M - 1))
+        nxt = lax.ppermute(c_out, "stage", ring)
+        return nxt, aux
+
+    T = M + n_stage - 1
+    zero = jax.tree.map(lambda a: jnp.zeros_like(a[0]), c0_mb)
+    _, auxs = lax.scan(pipe_step, zero, jnp.arange(T))
+    return jax.tree.map(
+        lambda a: lax.dynamic_slice_in_dim(a, last - s, M, axis=0), auxs)
+
+
 def _pipeline_logits(params, images, cfg: ViTConfig, n_stage: int,
                      microbatches: int, attn_precision: Optional[str],
                      remat: bool):
@@ -199,6 +258,174 @@ def make_pp_forward_fn(cfg: ViTConfig, mesh: Mesh,
                                     attn_precision, remat)
 
     fn = shard_map(body, mesh, in_specs=(pspecs, P("data")),
+                   out_specs=P("data"))
+    return jax.jit(fn)
+
+
+def _pp_explain_heat(params, images, indices, cfg: ViTConfig, n_stage: int,
+                     microbatches: int, start_layer: int, variant: str,
+                     alpha: float, attn_precision: Optional[str],
+                     relprop_precision: Optional[str],
+                     rollout_pallas: Optional[bool]):
+    """Per-device SPMD body of the pipeline-parallel
+    ``transformer_attribution`` explanation: images (B_local, 3, H, W) +
+    class indices (B_local,) -> heatmaps (B_local, num_patches), identical
+    on every stage.
+
+    Three phases, all inside one program:
+      1. forward GPipe ring collecting each block's (x_in, x_mid) anchors
+         stage-locally (the same anchor-remat trade the single-device
+         reverse uses — block internals are recomputed from anchors, never
+         stored);
+      2. reverse seeds on the LAST stage (class one-hot gradient + head/
+         pool relprop, mirroring ``vit.reverse_pass``'s tail), then the
+         reverse GPipe ring: each stage walks its local blocks backwards
+         (``block_backward`` + ``block_relprop`` fused per block, emitting
+         the (grad ⊙ cam)⁺ head-mean) and hands the (gradient, relevance)
+         carry to stage ``s - 1``;
+      3. the rollout chain over all L per-block maps — a tiny (n, n)
+         matrix product, so the maps are ``all_gather``ed over the stage
+         axis and the tail runs replicated rather than pipelined.
+    """
+    from transformer_explainability_tpu.ops import relprop as rp
+    from transformer_explainability_tpu.ops import pallas_kernels as pk
+
+    s = lax.axis_index("stage")
+    B_local = images.shape[0]
+    M = microbatches
+    assert B_local % M == 0, (B_local, M)
+    mb = B_local // M
+    n, D = cfg.num_tokens, cfg.embed_dim
+    L_local = cfg.depth // n_stage
+
+    # ---- phase 1: forward ring, collecting (x_in, x_mid) anchors ----
+    x0 = jax.vmap(lambda im: vit_mod.embed(params, im, cfg)[1])(images)
+    x0_mb = x0.reshape(M, mb, n, D)
+
+    def local_blocks(x, _mb_idx):
+        def body(xc, bp):
+            x_mid, x_out, _ = jax.vmap(
+                lambda xi: vit_mod._block_acts(xi, bp, cfg, None,
+                                               attn_precision))(xc)
+            return x_out, (xc, x_mid)
+        y, anchors = lax.scan(body, x, params["blocks"])
+        return y, anchors
+
+    ys, (x_ins_sv, x_mids_sv) = _gpipe_schedule_aux(x0_mb, local_blocks,
+                                                    n_stage, M)
+    # anchors: (M, L_local, mb, n, D) each, valid on every stage for its
+    # own depth shard; ys: finished outputs, valid on the LAST stage
+    x_final = ys.reshape(B_local, n, D)
+
+    # ---- phase 2a: reverse seeds (valid on the last stage only — other
+    # stages compute garbage the reverse ingest never reads) ----
+    def seed_one(xf, index):
+        def tail(x):
+            xn = vit_mod._layernorm(x, params["norm"], cfg.final_ln_eps)
+            logits = xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
+            if cfg.distilled:
+                logits = (logits + xn[1] @ params["head_dist"]["kernel"]
+                          + params["head_dist"]["bias"]) / 2
+            return logits
+        logits = tail(xf)
+        idx = jnp.where(index >= 0, index, jnp.argmax(logits))
+        onehot = jax.nn.one_hot(idx, cfg.num_classes, dtype=logits.dtype)
+        g_final = jax.grad(lambda x: jnp.sum(onehot * tail(x)))(xf)
+        # relevance seed: head -> pool (mirrors vit.reverse_pass:713-733)
+        xn = vit_mod._layernorm(xf, params["norm"], cfg.final_ln_eps)
+        if cfg.distilled:
+            z1 = xn[0] @ params["head"]["kernel"] + params["head"]["bias"]
+            z2 = (xn[1] @ params["head_dist"]["kernel"]
+                  + params["head_dist"]["bias"])
+            R1, R2 = rp.add_relprop(z1, z2, onehot, variant)
+            R_cls = rp.linear_alphabeta(xn[0], params["head"]["kernel"], R1,
+                                        alpha, variant)
+            R_dist = rp.linear_alphabeta(
+                xn[1], params["head_dist"]["kernel"], R2, alpha, variant)
+            R = jnp.zeros_like(xn).at[0].set(R_cls).at[1].set(R_dist)
+        else:
+            R = rp.linear_alphabeta(xn[0], params["head"]["kernel"], onehot,
+                                    alpha, variant)
+            R = rp.index_select_relprop(xn, 0, jnp.array(0), R[None, :])
+        return g_final, R
+
+    g0, R0 = jax.vmap(seed_one)(x_final, indices)
+    c0_mb = (g0.reshape(M, mb, n, D), R0.reshape(M, mb, n, D))
+
+    # ---- phase 2b: reverse ring over the local depth shard ----
+    def rev_block_one(g_out, Rc, x_in, x_mid, bp):
+        acts = vit_mod._block_acts_from_anchors(x_in, x_mid, bp, cfg,
+                                                attn_precision)
+        g_in, g_tap = vit_mod.block_backward(g_out, x_in, x_mid, acts, bp,
+                                             cfg, attn_precision)
+        R_in, attn_cam, _ = vit_mod.block_relprop(
+            Rc, x_in, x_mid, bp, cfg, alpha, variant, acts=acts,
+            relprop_precision=relprop_precision)
+        gc = jnp.clip(g_tap * attn_cam, min=0).mean(axis=0)
+        return g_in, R_in, gc
+
+    def local_rev(c, mb_idx):
+        x_ins = x_ins_sv[mb_idx]          # (L_local, mb, n, D)
+        x_mids = x_mids_sv[mb_idx]
+
+        def body(carry, xs):
+            g_out, Rc = carry
+            x_in, x_mid, bp = xs
+            g_in, R_in, gc = jax.vmap(
+                lambda go, rc, xi, xm: rev_block_one(go, rc, xi, xm, bp)
+            )(g_out, Rc, x_in, x_mid)
+            return (g_in, R_in), gc
+
+        c_out, gc = lax.scan(body, c, (x_ins, x_mids, params["blocks"]),
+                             reverse=True)
+        return c_out, gc                  # gc: (L_local, mb, n, n)
+
+    gc_local = _gpipe_schedule_rev(c0_mb, local_rev, n_stage, M)
+    gc_local = gc_local.transpose(0, 2, 1, 3, 4).reshape(
+        B_local, L_local, n, n)
+
+    # ---- phase 3: gather the tiny per-block maps; replicated rollout ----
+    gc_all = lax.all_gather(gc_local, "stage")      # (n_stage, B, L_local, ...)
+    cams = jnp.moveaxis(gc_all, 0, 1).reshape(B_local, cfg.depth, n, n)
+    return jax.vmap(
+        lambda c: pk.rollout_from_grad_cam(
+            c, None, start_layer, use_pallas=rollout_pallas
+        )[0, cfg.num_prefix_tokens:])(cams)
+
+
+def make_pp_explain_fn(cfg: ViTConfig, mesh: Mesh,
+                       microbatches: Optional[int] = None,
+                       start_layer: int = 0, variant: str = "ours",
+                       alpha: float = 1.0,
+                       matmul_precision: str = "float32",
+                       attn_precision: Optional[str] = None,
+                       relprop_precision: Optional[str] = None,
+                       rollout_pallas: Optional[bool] = None):
+    """Pipeline-parallel ``transformer_attribution`` explanation:
+    ``fn(params, images, indices) -> heatmaps (B, num_patches)`` with the
+    block stack sharded over ``stage`` and the batch over ``data``
+    (``indices``: int32 per-image class, -1 = argmax).
+
+    Completes the parallelism × explain matrix: DP (``parallel.mesh``) and
+    TP/SP (``parallel.{tensor,sequence}``) already run the full relprop;
+    this is the same math re-scheduled as a forward + reverse GPipe ring
+    (see :func:`_pp_explain_heat`), so outputs match the single-device
+    :func:`...explain.generator.explain_single` to f32 tolerance for any
+    (n_stage, microbatch) schedule."""
+    n_stage = mesh.shape["stage"]
+    assert cfg.depth % n_stage == 0, (cfg.depth, n_stage)
+    M = microbatches or n_stage
+    pspecs = vit_pipeline_pspecs(cfg)
+
+    def body(params, images, indices):
+        with jax.default_matmul_precision(matmul_precision):
+            return _pp_explain_heat(params, images, indices, cfg, n_stage,
+                                    M, start_layer, variant, alpha,
+                                    attn_precision, relprop_precision,
+                                    rollout_pallas)
+
+    fn = shard_map(body, mesh,
+                   in_specs=(pspecs, P("data"), P("data")),
                    out_specs=P("data"))
     return jax.jit(fn)
 
