@@ -27,10 +27,17 @@ def main():
     p.add_argument("--method", default="transformer_attribution")
     p.add_argument("--start-layer", type=int, default=11)
     p.add_argument("--latex-out", default=None)
+    p.add_argument("--html-out", default=None,
+                   help="captum-style colored-text rendering (the "
+                        "BERT_explainability.ipynb surface)")
     p.add_argument("--num-labels", type=int, default=2)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (skip any TPU relay)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
     from transformers import BertTokenizerFast
     from transformer_explainability_tpu.models import bert as bert_mod
@@ -38,7 +45,11 @@ def main():
     from transformer_explainability_tpu.explain.bert_generator import (
         BertExplainer)
 
-    tokenizer = BertTokenizerFast.from_pretrained(args.vocab)
+    if os.path.isfile(args.vocab):     # a bare vocab.txt (zero-egress path)
+        tokenizer = BertTokenizerFast(vocab_file=args.vocab,
+                                      do_lower_case=True)
+    else:
+        tokenizer = BertTokenizerFast.from_pretrained(args.vocab)
     cfg = BertConfig(num_labels=args.num_labels)
     if args.checkpoint:
         from transformer_explainability_tpu.params.convert import (
@@ -76,6 +87,21 @@ def main():
             generate_latex)
         generate_latex(tokens, scores, args.latex_out)
         print("wrote", args.latex_out)
+
+    if args.html_out:
+        # the notebook's postprocess: min-max normalize, sign-flip when the
+        # rendered class is class 0 (NEGATIVE in SST-2 label order)
+        from transformer_explainability_tpu.rationale.render import (
+            render_text_heatmap_html)
+        signed = norm if target != 0 else -norm
+        probs = np.exp(logits - logits.max())
+        probs = probs / probs.sum()
+        with open(args.html_out, "w") as f:
+            f.write(render_text_heatmap_html(
+                tokens, signed, pred_label=f"class {pred}",
+                pred_prob=float(probs[pred]),
+                attr_label=f"class {target}"))
+        print("wrote", args.html_out)
 
 
 if __name__ == "__main__":

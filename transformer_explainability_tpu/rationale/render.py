@@ -65,6 +65,72 @@ def generate_latex(text_list: Sequence[str], attention, latex_file: str,
         f.write("".join(parts))
 
 
+def _signed_color(score: float) -> str:
+    """The hsl color ramp of the colored-text surface the reference's
+    ``BERT_explainability.ipynb`` renders with (captum
+    ``visualization._get_color``): green for positive relevance, red for
+    negative, lightness falling with |score|."""
+    s = float(min(1.0, max(-1.0, score)))
+    if s >= 0:
+        return "hsl(120, 75%%, %d%%)" % (100 - int(50 * s))
+    return "hsl(0, 75%%, %d%%)" % (100 - int(-40 * s))
+
+
+def _html_escape(t: str) -> str:
+    return (t.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def render_text_heatmap_html(tokens: Sequence[str], scores,
+                             true_label: str = "", pred_label: str = "",
+                             pred_prob: float = None,
+                             attr_label: str = "") -> str:
+    """Per-token relevance as a self-contained HTML snippet — the repo's
+    analog of the captum ``visualize_text`` record the reference's
+    ``BERT_explainability.ipynb`` ships as its BERT demo surface (cell 6:
+    one table row of legend columns + tokens highlighted green/red by
+    signed score).
+
+    ``scores`` are signed values in [-1, 1] — the notebook's contract:
+    min-max-normalized relevance, sign-flipped when the rendered class is
+    the negative one (higher relevance = more negative evidence). The
+    renderer clips but never rescales, so the artifact is a pure function
+    of its inputs (golden-testable byte-exact). Wordpiece tokens ('##x')
+    join their predecessor without a space, mirroring
+    :func:`generate_latex`."""
+    scores = np.asarray(scores, np.float64)[:len(tokens)]
+    parts = []
+    for tok, sc in zip(tokens, scores.tolist()):
+        text = _html_escape(tok)
+        joiner = ""
+        if text.startswith("##"):
+            text = text[2:]
+        else:
+            joiner = " "
+        parts.append(
+            '%s<mark style="background-color: %s; opacity:1.0; '
+            'line-height:1.75"><font color="black">%s</font></mark>'
+            % (joiner, _signed_color(sc), text))
+    word_html = "".join(parts).lstrip()
+    prob = "" if pred_prob is None else " (%.2f)" % float(pred_prob)
+    cells = [
+        "<td><text style=\"padding-right:2em\"><b>%s</b></text></td>"
+        % _html_escape(true_label),
+        "<td><text style=\"padding-right:2em\"><b>%s%s</b></text></td>"
+        % (_html_escape(pred_label), prob),
+        "<td><text style=\"padding-right:2em\"><b>%s</b></text></td>"
+        % _html_escape(attr_label),
+        "<td><text style=\"padding-right:2em\"><b>%.2f</b></text></td>"
+        % float(scores.sum()),
+        "<td>%s</td>" % word_html,
+    ]
+    header = ("<tr><th>True Label</th><th>Predicted Label</th>"
+              "<th>Attribution Label</th><th>Attribution Score</th>"
+              "<th>Word Importance</th></tr>")
+    return ("<table width: 100%%>%s<tr>%s</tr></table>"
+            % (header, "".join(cells)))
+
+
 def _chars_and_words(doc_words: Sequence[str], wordpieces: Sequence[str]):
     """Greedy character realignment of wordpieces onto whitespace words —
     the reference's char-accumulation scheme (:103-137)."""
