@@ -475,6 +475,56 @@ def _batch_corr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return num / np.maximum(den, 1e-300)
 
 
+def make_cpu_exact_fn(cfg: ViTConfig, start_layer: int = 0,
+                      matmul_precision: str = "float32"):
+    """One-sample exact-CPU ``transformer_attribution`` — the guarantee
+    path's verifier, shared by :func:`make_guarded_explain_fn`'s sync
+    fallback and the async verification queue
+    (:class:`~transformer_explainability_tpu.explain.serving.GuardedServer`).
+
+    Returns ``fn(params, img_chw, index) -> heatmap`` (numpy). Exact f32
+    exists only on the host CPU (the TPU "f32" is the MXU's bf16x6
+    emulation — PERF.md round 3d), so the program is pinned to the CPU
+    device regardless of the default backend; compiles once, reused across
+    calls. Thread-safe for single-producer use: dedicated state per
+    returned fn."""
+    cpu_state = {}        # source pytree -> CPU copy; plus compiled fn
+
+    def _fallback(params, img, index):
+        cpu = jax.devices("cpu")[0]
+        # Cache keyed on id(params), but holding a strong reference to the
+        # keyed pytree ("src"): without it a GC'd pytree's id can be
+        # recycled by a NEW params object, and flagged samples would re-run
+        # against the WRONG weights — on the exact-correctness path
+        # (ADVICE round 4; the weight-mismatch precedent is PERF.md 4a).
+        key = id(params)
+        if cpu_state.get("key") != key or cpu_state.get("src") is not params:
+            cpu_state["key"] = key
+            cpu_state["src"] = params
+            cpu_state["params"] = jax.device_put(params, cpu)
+        if "fn" not in cpu_state:
+            def single(p, im, ix):
+                # use_attn_kernel=False explicitly: the auto-gate keys on
+                # jax.default_backend(), which is still "tpu" in this
+                # process — the Pallas kernels cannot run on the CPU device
+                # this program is placed on
+                return explain_single(p, im, ix, cfg,
+                                      "transformer_attribution",
+                                      start_layer=start_layer,
+                                      matmul_precision=matmul_precision,
+                                      use_attn_kernel=False)
+            cpu_state["fn"] = jax.jit(single)
+        # args committed to the CPU device -> the jit runs on the CPU
+        # backend (computation follows data); one compile, reused across
+        # flagged samples
+        return np.asarray(cpu_state["fn"](cpu_state["params"],
+                                          jax.device_put(np.asarray(img), cpu),
+                                          jax.device_put(np.asarray(index),
+                                                         cpu)))
+
+    return _fallback
+
+
 def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
                             mode: str = "strict",
                             agreement: Optional[float] = None,
@@ -561,39 +611,8 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
                                start_layer=start_layer,
                                with_diagnostics=True, **kwargs)
 
-    cpu_state = {}        # source pytree -> CPU copy; plus compiled fallback
-
-    def _fallback(params, img, index):
-        cpu = jax.devices("cpu")[0]
-        # Cache keyed on id(params), but holding a strong reference to the
-        # keyed pytree ("src"): without it a GC'd pytree's id can be
-        # recycled by a NEW params object, and flagged samples would re-run
-        # against the WRONG weights — on the exact-correctness path
-        # (ADVICE round 4; the weight-mismatch precedent is PERF.md 4a).
-        key = id(params)
-        if cpu_state.get("key") != key or cpu_state.get("src") is not params:
-            cpu_state["key"] = key
-            cpu_state["src"] = params
-            cpu_state["params"] = jax.device_put(params, cpu)
-        if "fn" not in cpu_state:
-            def single(p, im, ix):
-                # use_attn_kernel=False explicitly: the auto-gate keys on
-                # jax.default_backend(), which is still "tpu" in this
-                # process — the Pallas kernels cannot run on the CPU device
-                # this program is placed on
-                return explain_single(p, im, ix, cfg,
-                                      "transformer_attribution",
-                                      start_layer=start_layer,
-                                      matmul_precision=fallback_precision,
-                                      use_attn_kernel=False)
-            cpu_state["fn"] = jax.jit(single)
-        # args committed to the CPU device -> the jit runs on the CPU
-        # backend (computation follows data); one compile, reused across
-        # flagged samples
-        return np.asarray(cpu_state["fn"](cpu_state["params"],
-                                          jax.device_put(np.asarray(img), cpu),
-                                          jax.device_put(np.asarray(index),
-                                                         cpu)))
+    _fallback = make_cpu_exact_fn(cfg, start_layer=start_layer,
+                                  matmul_precision=fallback_precision)
 
     def guarded(params, images, indices, n_valid: Optional[int] = None):
         """``n_valid``: only the first n samples are real (the rest are
