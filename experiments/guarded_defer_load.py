@@ -1,0 +1,255 @@
+"""Measure the envelope defer path END-TO-END under sustained load
+(VERDICT r4 weak #4 / next-round #6: the serving claim rested on an
+unmeasured async path).
+
+Serves >=1k samples through :class:`GuardedServer` (envelope mode,
+production preset, committed ENVELOPE_BOUNDS) on the real TPU while the
+background CPU verifier drains flagged samples live:
+
+  * traffic: fresh benign draws from BOTH augment families (seeds disjoint
+    from calibration — guarded_envelope_margin.py), so flags are the
+    envelope's structural ~1% benign FP rate; one batch carries 8 injected
+    randn stress rows (the population the envelope exists to catch);
+  * measured: submit-side throughput with the queue live (vs the plain
+    production program), drain time, per-flag queue wait / service time /
+    depth, verifier busy fraction, flag split (stress vs benign);
+  * fidelity: every corrected row + an unflagged control set is compared
+    against f64 CPU truth (child process — x64 flips global dtypes):
+    end-to-end min-corr INCLUDING deferred corrections.
+
+Writes experiments/data/guarded_defer_load.json (and _truth.npz).
+
+Usage:
+    python experiments/guarded_defer_load.py               # real TPU
+    python experiments/guarded_defer_load.py --cpu-smoke   # tiny, CPU
+    (internal) --truth-child IN OUT                        # f64 child
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+import dataclasses
+import json
+import subprocess
+import time
+
+import numpy as np
+
+HERE = _os.path.dirname(_os.path.abspath(__file__))
+DATA = _os.path.join(HERE, "data")
+OUT_JSON = _os.path.join(DATA, "guarded_defer_load.json")
+
+
+def _corr(a, b):
+    a = a.reshape(-1).astype(np.float64); b = b.reshape(-1).astype(np.float64)
+    a -= a.mean(); b -= b.mean()
+    d = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(a @ b / d) if d else 1.0
+
+
+def truth_child(in_npz: str, out_npz: str) -> None:
+    """f64 CPU truth for (images, indices) — run in its OWN process."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from transformer_explainability_tpu.models.vit import VIT_BASE_16_224
+    from transformer_explainability_tpu.explain.generator import (
+        explain_single)
+    d = np.load(in_npz)
+    import jax.numpy as jnp
+    import functools
+    # f64 arrays + matmul_precision="float32" on CPU = native f64 math —
+    # the exact methodology of experiments/make_golden.py / PERF.md 3d
+    fn = jax.jit(functools.partial(
+        explain_single, cfg=VIT_BASE_16_224,
+        method="transformer_attribution", matmul_precision="float32",
+        unroll=1, use_attn_kernel=False))
+    from transformer_explainability_tpu.models.vit import init_params
+    params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x), jnp.float64),
+                          init_params(jax.random.PRNGKey(0), VIT_BASE_16_224))
+    out = [np.asarray(fn(params, jnp.asarray(img, jnp.float64),
+                         jnp.int32(ix)))
+           for img, ix in zip(d["images"], d["indices"])]
+    np.savez(out_npz, truth=np.stack(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--stress-rows", type=int, default=8,
+                    help="randn rows injected into the middle batch")
+    ap.add_argument("--max-truth", type=int, default=24,
+                    help="cap on f64 truth recomputes (corrected rows)")
+    ap.add_argument("--controls", type=int, default=8)
+    ap.add_argument("--cpu-smoke", action="store_true",
+                    help="tiny config on CPU — validates the harness only")
+    ap.add_argument("--skip-truth", action="store_true")
+    ap.add_argument("--out", default=OUT_JSON)
+    ap.add_argument("--truth-child", nargs=2, default=None)
+    args = ap.parse_args()
+
+    if args.truth_child:
+        return truth_child(*args.truth_child)
+
+    import jax
+    if args.cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+    from transformer_explainability_tpu.models.vit import (
+        VIT_BASE_16_224, init_params)
+    from transformer_explainability_tpu.explain.generator import (
+        DIAG_FIELDS, calibrate_envelope, make_explain_fn)
+    from transformer_explainability_tpu.explain.serving import GuardedServer
+    from transformer_explainability_tpu.utils.profiling import sync
+    from guarded_envelope_calib import diverse_augments
+    from guarded_envelope_margin import bench_family
+
+    if args.cpu_smoke:
+        cfg = dataclasses.replace(VIT_BASE_16_224, img_size=32,
+                                  embed_dim=64, depth=3, num_heads=4,
+                                  num_classes=10)
+        args.batches, args.batch = 3, 8
+        args.stress_rows, args.max_truth, args.controls = 2, 4, 2
+    else:
+        assert jax.default_backend() == "tpu", (
+            "sustained-load measurement needs the real chip "
+            "(--cpu-smoke for harness validation)")
+        cfg = VIT_BASE_16_224
+
+    B, NB = args.batch, args.batches
+    rng = np.random.RandomState(7)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def benign(i, n):
+        if cfg is not VIT_BASE_16_224:      # smoke: synthetic benign
+            return rng.randn(n, 3, cfg.img_size, cfg.img_size).astype(
+                np.float32) * 0.3
+        fam = diverse_augments if i % 2 == 0 else bench_family
+        return np.asarray(fam(n, 200 + i), np.float32)
+
+    batches = []
+    stress_batch = NB // 2
+    for i in range(NB):
+        imgs = benign(i, B)
+        is_stress = np.zeros(B, bool)
+        if i == stress_batch and args.stress_rows:
+            imgs[:args.stress_rows] = rng.randn(
+                args.stress_rows, *imgs.shape[1:]).astype(np.float32)
+            is_stress[:args.stress_rows] = True
+        idx = rng.randint(0, cfg.num_classes, B).astype(np.int32)
+        batches.append((imgs, idx, is_stress))
+
+    bounds = None          # committed ENVELOPE_BOUNDS
+    if args.cpu_smoke:     # smoke: calibrate on this traffic, then tighten
+        diag_fn = make_explain_fn(cfg, "transformer_attribution",
+                                  with_diagnostics=True)
+        _, diag = diag_fn(params, batches[0][0], batches[0][1])
+        bounds = calibrate_envelope(np.asarray(diag), margin=1.02)
+
+    srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds)
+
+    # ---- warmup (compile both the guard program and the CPU verifier)
+    w_imgs = benign(97, B)
+    w_idx = rng.randint(0, cfg.num_classes, B).astype(np.int32)
+    t = srv.submit(params, w_imgs, w_idx)
+    srv._q.put((t, params, w_imgs[0], w_idx[0], 0, time.monotonic()))
+    srv.drain(timeout=1200)
+    srv.reset_stats()      # drop the compile-time service sample
+
+    # ---- baseline: plain production program, no guard, same traffic
+    plain = make_explain_fn(cfg, "transformer_attribution")
+    sync(plain(params, batches[0][0], batches[0][1]))    # compile
+    t0 = time.monotonic()
+    for imgs, idx, _ in batches:
+        out = plain(params, imgs, idx)
+    sync(out)
+    plain_s = time.monotonic() - t0
+
+    # ---- sustained load through the server
+    tickets = []
+    submit_s = []
+    t_start = time.monotonic()
+    for imgs, idx, _ in batches:
+        ts = time.monotonic()
+        tickets.append(srv.submit(params, imgs, idx))
+        submit_s.append(time.monotonic() - ts)
+    # submit() returns numpy heatmaps (host transfer) — already synced
+    t_submit_end = time.monotonic()
+    srv.drain(timeout=3600)
+    t_drain_end = time.monotonic()
+
+    stats = srv.stats()
+    n_total = B * NB
+    flags_stress = flags_benign = 0
+    for t, (_, _, is_stress) in zip(tickets, batches):
+        flags_stress += int((t.flagged & is_stress).sum())
+        flags_benign += int((t.flagged & ~is_stress).sum())
+    n_benign = n_total - args.stress_rows
+    report = {
+        "config": {"batches": NB, "batch": B, "samples": n_total,
+                   "stress_rows": args.stress_rows,
+                   "smoke": bool(args.cpu_smoke)},
+        "throughput": {
+            "plain_expl_s": n_total / plain_s,
+            "submit_expl_s": n_total / (t_submit_end - t_start),
+            "e2e_incl_drain_expl_s": n_total / (t_drain_end - t_start),
+            "submit_overhead_vs_plain":
+                (t_submit_end - t_start) / plain_s - 1.0,
+            "drain_tail_s": t_drain_end - t_submit_end,
+        },
+        "flags": {
+            "stress_caught": flags_stress,
+            "stress_total": args.stress_rows,
+            "benign_fp": flags_benign,
+            "benign_fp_rate": flags_benign / max(n_benign, 1),
+        },
+        "queue": {k: stats[k] for k in stats
+                  if k.startswith(("queue", "service", "verifier"))
+                  or k in ("n_flagged", "flag_rate")},
+    }
+
+    # ---- end-to-end fidelity incl. deferred corrections (f64 truth)
+    if not args.skip_truth:
+        corrected, control = [], []
+        for t, (imgs, idx, _) in zip(tickets, batches):
+            for r in sorted(t.corrections):
+                corrected.append((imgs[r], idx[r], t.heatmaps[r]))
+            for r in np.nonzero(~t.flagged)[0][:1]:
+                control.append((imgs[r], idx[r], t.heatmaps[r]))
+        corrected = corrected[:args.max_truth]
+        control = control[:args.controls]
+        todo = corrected + control
+        if todo:
+            _os.makedirs(DATA, exist_ok=True)
+            in_npz = _os.path.join(DATA, "guarded_defer_load_in.npz")
+            tr_npz = _os.path.join(DATA, "guarded_defer_load_truth.npz")
+            np.savez(in_npz,
+                     images=np.stack([x[0] for x in todo]),
+                     indices=np.asarray([x[1] for x in todo], np.int32))
+            if args.cpu_smoke:
+                print("smoke: skipping the f64 child (full-scale cfg only)")
+            else:
+                subprocess.run(
+                    [_sys.executable, _os.path.abspath(__file__),
+                     "--truth-child", in_npz, tr_npz],
+                    check=True, timeout=3600)
+                truth = np.load(tr_npz)["truth"]
+                cc = [_corr(h, tt) for (_, _, h), tt
+                      in zip(todo, truth)]
+                nc = len(corrected)
+                report["fidelity"] = {
+                    "n_corrected_checked": nc,
+                    "n_control": len(control),
+                    "corrected_min_corr": min(cc[:nc]) if nc else None,
+                    "control_min_corr": (min(cc[nc:])
+                                         if len(cc) > nc else None),
+                }
+    srv.close()
+
+    _os.makedirs(DATA, exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,17 @@ class GuardedServer:
         if self._q.unfinished_tasks:
             raise TimeoutError("verification queue did not drain in time")
 
+    def reset_stats(self) -> None:
+        """Zero the counters/latency samples (call after a warmup submit so
+        compile-time service samples don't pollute the load measurement)."""
+        with self._lock:
+            self._waits.clear()
+            self._services.clear()
+            self._depths.clear()
+            self._busy_s = 0.0
+            self._n_samples = self._n_flagged = self._n_batches = 0
+            self._t_open = time.monotonic()
+
     def stats(self) -> dict:
         """Sustained-load queue statistics (seconds)."""
         with self._lock:
