@@ -104,6 +104,35 @@ def test_server_strict_mode_cpu_no_flags(setup):
     assert srv.stats()["n_flagged"] == 0
 
 
+def test_server_verifier_failure_never_hangs(setup):
+    """A raising verifier must not kill the worker or hang wait()/drain():
+    failed rows keep the fast heatmap, record the error, stay flagged."""
+    params, imgs, idx = setup
+    fast = make_explain_fn(CFG, "transformer_attribution",
+                           with_diagnostics=True)
+    heat_fast, _ = fast(params, imgs, idx)
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL) as srv:
+        calls = {"n": 0}
+        real = srv._verify
+
+        def flaky(p, im, ix):
+            calls["n"] += 1
+            if calls["n"] % 2 == 1:
+                raise RuntimeError("verifier crash")
+            return real(p, im, ix)
+
+        srv._verify = flaky
+        t = srv.submit(params, imgs, idx)
+        assert t.wait(timeout=300)
+        # odd calls (rows 0, 2) failed; even (1, 3) corrected
+        assert sorted(t.errors) == [0, 2]
+        assert sorted(t.corrections) == [1, 3]
+        np.testing.assert_array_equal(t.heatmaps[0],
+                                      np.asarray(heat_fast)[0])
+        s = srv.stats()
+    assert s["n_errors"] == 2
+
+
 def test_server_rejects_submit_after_close(setup):
     params, imgs, idx = setup
     srv = GuardedServer(CFG, mode="strict")

@@ -62,6 +62,7 @@ class BatchTicket:
         self.flagged = flagged
         self.score = score
         self.corrections: dict = {}
+        self.errors: dict = {}         # row -> repr(exception)
         self._pending = int(flagged.sum())
         self._done = threading.Event()
         if self._pending == 0:
@@ -70,6 +71,16 @@ class BatchTicket:
     def _deliver(self, row: int, heat: np.ndarray) -> None:
         self.heatmaps[row] = heat
         self.corrections[row] = heat
+        self._finish_one()
+
+    def _fail(self, row: int, err: BaseException) -> None:
+        # verification failed: the fast heatmap stays in place, the row
+        # stays marked flagged, and the error is recorded — a dead verifier
+        # must never hang wait()/drain() (the queue is the serving path)
+        self.errors[row] = repr(err)
+        self._finish_one()
+
+    def _finish_one(self) -> None:
         self._pending -= 1
         if self._pending <= 0:
             self._done.set()
@@ -118,6 +129,7 @@ class GuardedServer:
         self._n_samples = 0
         self._n_flagged = 0
         self._n_batches = 0
+        self._n_errors = 0
         self._closed = False
         self._worker = threading.Thread(target=self._drain_loop,
                                         name="guarded-verifier", daemon=True)
@@ -133,7 +145,14 @@ class GuardedServer:
                 return
             ticket, params, img, index, row, t_enq = item
             t0 = time.monotonic()
-            heat = self._verify(params, img, index)
+            try:
+                heat = self._verify(params, img, index)
+            except BaseException as e:           # noqa: BLE001
+                ticket._fail(row, e)
+                with self._lock:
+                    self._n_errors += 1
+                self._q.task_done()
+                continue
             t1 = time.monotonic()
             ticket._deliver(row, heat)
             with self._lock:
@@ -189,6 +208,7 @@ class GuardedServer:
             self._depths.clear()
             self._busy_s = 0.0
             self._n_samples = self._n_flagged = self._n_batches = 0
+            self._n_errors = 0
             self._t_open = time.monotonic()
 
     def stats(self) -> dict:
@@ -202,6 +222,7 @@ class GuardedServer:
                 "n_batches": self._n_batches,
                 "n_samples": self._n_samples,
                 "n_flagged": self._n_flagged,
+                "n_errors": self._n_errors,
                 "flag_rate": (self._n_flagged / self._n_samples
                               if self._n_samples else 0.0),
                 "verifier_busy_s": self._busy_s,
