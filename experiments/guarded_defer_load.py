@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--max-truth", type=int, default=24,
                     help="cap on f64 truth recomputes (corrected rows)")
     ap.add_argument("--controls", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="serve_stream pipeline depth")
     ap.add_argument("--cpu-smoke", action="store_true",
                     help="tiny config on CPU — validates the harness only")
     ap.add_argument("--skip-truth", action="store_true")
@@ -99,7 +101,6 @@ def main():
     from transformer_explainability_tpu.explain.generator import (
         DIAG_FIELDS, calibrate_envelope, make_explain_fn)
     from transformer_explainability_tpu.explain.serving import GuardedServer
-    from transformer_explainability_tpu.utils.profiling import sync
     from guarded_envelope_calib import diverse_augments
     from guarded_envelope_margin import bench_family
 
@@ -155,47 +156,61 @@ def main():
     srv.drain(timeout=1200)
     srv.reset_stats()      # drop the compile-time service sample
 
-    # ---- baseline: plain production program, no guard, same traffic
-    plain = make_explain_fn(cfg, "transformer_attribution")
-    sync(plain(params, batches[0][0], batches[0][1]))    # compile
-    t0 = time.monotonic()
-    for imgs, idx, _ in batches:
-        out = plain(params, imgs, idx)
-    sync(out)
-    plain_s = time.monotonic() - t0
+    n_total = B * NB
 
-    # ---- sustained load through the server
-    tickets = []
-    submit_s = []
+    def _flag_split(tickets):
+        fs = fb = 0
+        for t, (_, _, is_stress) in zip(tickets, batches):
+            fs += int((t.flagged & is_stress).sum())
+            fb += int((t.flagged & ~is_stress).sum())
+        return fs, fb
+
+    # ---- phase A: synchronous submit loop (pays the device round-trip
+    # per batch — the latency-bound path; measured 35 expl/s round 5)
+    tickets_a = []
     t_start = time.monotonic()
     for imgs, idx, _ in batches:
-        ts = time.monotonic()
-        tickets.append(srv.submit(params, imgs, idx))
-        submit_s.append(time.monotonic() - ts)
+        tickets_a.append(srv.submit(params, imgs, idx))
     # submit() returns numpy heatmaps (host transfer) — already synced
     t_submit_end = time.monotonic()
     srv.drain(timeout=3600)
     t_drain_end = time.monotonic()
+    stats_a = srv.stats()
+    sync_phase = {
+        "submit_expl_s": n_total / (t_submit_end - t_start),
+        "e2e_incl_drain_expl_s": n_total / (t_drain_end - t_start),
+        "drain_tail_s": t_drain_end - t_submit_end,
+        "queue": {k: stats_a[k] for k in stats_a
+                  if k.startswith(("queue", "service", "verifier"))
+                  or k in ("n_flagged", "flag_rate")},
+    }
+    srv.reset_stats()
 
+    # ---- phase B: pipelined serve_stream (the sustained-serving path —
+    # device compute of batch i+k overlaps host flag processing of i)
+    t_start = time.monotonic()
+    tickets = list(srv.serve_stream(
+        params, ((imgs, idx) for imgs, idx, _ in batches),
+        depth=args.depth))
+    t_submit_end = time.monotonic()
+    srv.drain(timeout=3600)
+    t_drain_end = time.monotonic()
     stats = srv.stats()
-    n_total = B * NB
-    flags_stress = flags_benign = 0
-    for t, (_, _, is_stress) in zip(tickets, batches):
-        flags_stress += int((t.flagged & is_stress).sum())
-        flags_benign += int((t.flagged & ~is_stress).sum())
+
+    flags_stress, flags_benign = _flag_split(tickets)
     n_benign = n_total - args.stress_rows
     report = {
         "config": {"batches": NB, "batch": B, "samples": n_total,
-                   "stress_rows": args.stress_rows,
+                   "stress_rows": args.stress_rows, "depth": args.depth,
                    "smoke": bool(args.cpu_smoke)},
         "throughput": {
-            "plain_expl_s": n_total / plain_s,
-            "submit_expl_s": n_total / (t_submit_end - t_start),
-            "e2e_incl_drain_expl_s": n_total / (t_drain_end - t_start),
-            "submit_overhead_vs_plain":
-                (t_submit_end - t_start) / plain_s - 1.0,
-            "drain_tail_s": t_drain_end - t_submit_end,
+            "stream_expl_s": n_total / (t_submit_end - t_start),
+            "stream_e2e_incl_drain_expl_s":
+                n_total / (t_drain_end - t_start),
+            "stream_drain_tail_s": t_drain_end - t_submit_end,
+            "sync_submit_expl_s": sync_phase["submit_expl_s"],
         },
+        "sync_phase": sync_phase,
         "flags": {
             "stress_caught": flags_stress,
             "stress_total": args.stress_rows,

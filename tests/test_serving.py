@@ -104,6 +104,37 @@ def test_server_strict_mode_cpu_no_flags(setup):
     assert srv.stats()["n_flagged"] == 0
 
 
+def test_serve_stream_matches_submit(setup):
+    """Pipelined serving yields the same tickets (order, heatmaps, flags,
+    corrections) as a synchronous submit loop, at any depth."""
+    params, imgs, idx = setup
+    exact = make_explain_fn(CFG, "transformer_attribution",
+                            matmul_precision="float32")
+    want = np.asarray(exact(params, imgs, idx))
+    batches = [(imgs, idx), (imgs[::-1], idx[::-1]), (imgs, idx, 2)]
+    for depth in (1, 2, 8):      # deeper than the stream and shallower
+        with GuardedServer(CFG, envelope_bounds=FLAG_ALL) as srv:
+            tickets = list(srv.serve_stream(params, iter(batches),
+                                            depth=depth))
+            srv.drain(timeout=600)
+        assert len(tickets) == 3
+        np.testing.assert_allclose(tickets[0].heatmaps, want,
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(tickets[1].heatmaps, want[::-1],
+                                   rtol=1e-5, atol=1e-7)
+        # third batch: n_valid=2 masks rows 2-3
+        assert sorted(tickets[2].corrections) == [0, 1]
+        assert srv.stats()["n_samples"] == 4 + 4 + 2
+
+
+def test_serve_stream_rejected_after_close(setup):
+    params, imgs, idx = setup
+    srv = GuardedServer(CFG, mode="strict")
+    srv.close()
+    with pytest.raises(RuntimeError):
+        list(srv.serve_stream(params, [(imgs, idx)]))
+
+
 def test_server_verifier_failure_never_hangs(setup):
     """A raising verifier must not kill the worker or hang wait()/drain():
     failed rows keep the fast heatmap, record the error, stay flagged."""

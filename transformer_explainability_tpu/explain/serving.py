@@ -37,12 +37,14 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from typing import Optional
 
 import numpy as np
 
 from transformer_explainability_tpu.explain.generator import (
-    make_cpu_exact_fn, make_guarded_explain_fn)
+    ENVELOPE_BOUNDS, PRECISION_PRESETS, STRICT_AGREEMENT, _batch_corr,
+    _envelope_flags, make_cpu_exact_fn, make_explain_fn)
 from transformer_explainability_tpu.models.vit import (VIT_BASE_16_224,
                                                        ViTConfig)
 
@@ -96,12 +98,23 @@ class BatchTicket:
 class GuardedServer:
     """Envelope-guarded serving with an async exact-CPU verification queue.
 
-    Parameters mirror :func:`make_guarded_explain_fn` (the guard always
-    runs with ``fallback="defer"`` + ``return_info=True``); ``mode`` may be
-    ``"envelope"`` (production) or ``"strict"`` (useful on CPU tests where
-    the agreement threshold is controllable). ``max_queue`` bounds the
-    verification backlog — when full, ``submit`` blocks (back-pressure)
-    rather than growing without bound.
+    Parameters mirror :func:`make_guarded_explain_fn` (defer semantics —
+    flagged rows never block a batch); ``mode`` may be ``"envelope"``
+    (production) or ``"strict"`` (useful on CPU tests where the agreement
+    threshold is controllable). ``max_queue`` bounds the verification
+    backlog — when full, enqueueing blocks (back-pressure) rather than
+    growing without bound.
+
+    Two submission paths:
+
+      * :meth:`submit` — synchronous: one batch in, finalized ticket out.
+        Pays the full device round-trip per batch; on the relay backend
+        that latency (~1.5-2.5 s) dwarfs the ~0.2 s compute, capping a
+        submit loop at ~35 expl/s (measured, guarded_defer_load round 5).
+      * :meth:`serve_stream` — pipelined: dispatches up to ``depth``
+        batches ahead before forcing the oldest to the host, overlapping
+        device compute + transfer of batch *i+k* with host-side flag
+        processing of batch *i*. This is the sustained-serving path.
 
     Use as a context manager or call :meth:`close`.
     """
@@ -112,11 +125,27 @@ class GuardedServer:
                  agreement: Optional[float] = None,
                  fallback_precision: str = "float32",
                  max_queue: int = 256, **precision_overrides):
-        self._guard = make_guarded_explain_fn(
-            cfg, start_layer=start_layer, mode=mode,
-            agreement=agreement, envelope_bounds=envelope_bounds,
-            fallback="defer", return_info=True,
-            fallback_precision=fallback_precision, **precision_overrides)
+        if mode not in ("strict", "envelope"):
+            raise ValueError(f"unknown guarded mode {mode!r}")
+        kwargs = dict(PRECISION_PRESETS["production"])
+        kwargs.update(precision_overrides)
+        self._mode = mode
+        # the server owns the fast program(s) directly (rather than
+        # wrapping make_guarded_explain_fn) so dispatch and host-sync can
+        # be split for pipelined submission
+        if mode == "strict":
+            self._fast = make_explain_fn(cfg, "transformer_attribution",
+                                         start_layer=start_layer, **kwargs)
+            self._check = make_explain_fn(cfg, "transformer_attribution",
+                                          start_layer=start_layer,
+                                          matmul_precision="float32")
+            self._agreement = (STRICT_AGREEMENT if agreement is None
+                               else agreement)
+        else:
+            self._fast = make_explain_fn(cfg, "transformer_attribution",
+                                         start_layer=start_layer,
+                                         with_diagnostics=True, **kwargs)
+            self._bounds = dict(envelope_bounds or ENVELOPE_BOUNDS)
         self._verify = make_cpu_exact_fn(cfg, start_layer=start_layer,
                                          matmul_precision=fallback_precision)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
@@ -163,29 +192,81 @@ class GuardedServer:
 
     # ------------------------------------------------------------ public
 
-    def submit(self, params, images, indices,
-               n_valid: Optional[int] = None) -> BatchTicket:
-        """Run the guarded fast path on one batch; enqueue flagged samples
-        for async exact verification. Returns immediately with the fast
-        heatmaps (corrections land in place; ``ticket.wait()`` to block)."""
-        if self._closed:
-            raise RuntimeError("GuardedServer is closed")
-        heat, info = self._guard(params, images, indices, n_valid=n_valid)
-        ticket = BatchTicket(np.asarray(heat), np.asarray(info["flagged"]),
-                             np.asarray(info["score"]))
-        rows = np.nonzero(ticket.flagged)[0]
+    def _dispatch(self, params, images, indices):
+        """Launch the fast program(s) on-device WITHOUT host sync — JAX
+        async dispatch returns device futures immediately."""
+        if self._mode == "strict":
+            return (self._fast(params, images, indices),
+                    self._check(params, images, indices))
+        return self._fast(params, images, indices)
+
+    def _finalize(self, dev, params, imgs_np, idx_np,
+                  n_valid: Optional[int]) -> BatchTicket:
+        """Host-sync one dispatched batch, compute flags, build its ticket,
+        and enqueue flagged rows for async verification."""
+        if self._mode == "strict":
+            heat = np.array(dev[0])
+            score = _batch_corr(heat, np.asarray(dev[1]))
+            flagged = score < self._agreement
+        else:
+            heat_d, diag_d = dev
+            heat = np.array(heat_d)
+            score = np.asarray(diag_d, np.float64)
+            flagged = _envelope_flags(score, self._bounds)
+            score = score[:, 6]          # g_growth, for info readability
+        if n_valid is not None:
+            flagged = flagged & (np.arange(len(flagged)) < n_valid)
+        ticket = BatchTicket(heat, flagged, score)
+        rows = np.nonzero(flagged)[0]
         with self._lock:
             self._n_batches += 1
-            self._n_samples += (len(ticket.flagged) if n_valid is None
+            self._n_samples += (len(flagged) if n_valid is None
                                 else int(n_valid))
             self._n_flagged += len(rows)
             self._depths.append(self._q.qsize())
-        imgs_np = np.asarray(images)
-        idx_np = np.asarray(indices)
         for r in rows:
             self._q.put((ticket, params, imgs_np[r], idx_np[r], int(r),
                          time.monotonic()))
         return ticket
+
+    def submit(self, params, images, indices,
+               n_valid: Optional[int] = None) -> BatchTicket:
+        """Run the guarded fast path on one batch; enqueue flagged samples
+        for async exact verification. Returns immediately with the fast
+        heatmaps (corrections land in place; ``ticket.wait()`` to block).
+
+        Synchronous — pays the device round-trip per batch; use
+        :meth:`serve_stream` for sustained load."""
+        if self._closed:
+            raise RuntimeError("GuardedServer is closed")
+        dev = self._dispatch(params, images, indices)
+        return self._finalize(dev, params, np.asarray(images),
+                              np.asarray(indices), n_valid)
+
+    def serve_stream(self, params, batch_iter, depth: int = 4):
+        """Pipelined serving: yields one finalized :class:`BatchTicket` per
+        input batch, in order, keeping up to ``depth`` batches dispatched
+        ahead of the host-sync point — device compute/transfer of batch
+        i+k overlaps flag processing of batch i, amortizing the per-call
+        round-trip that caps a synchronous :meth:`submit` loop.
+
+        ``batch_iter`` yields ``(images, indices)`` or
+        ``(images, indices, n_valid)`` tuples."""
+        if self._closed:
+            raise RuntimeError("GuardedServer is closed")
+        pending: deque = deque()
+        for item in batch_iter:
+            images, indices = item[0], item[1]
+            n_valid = item[2] if len(item) > 2 else None
+            dev = self._dispatch(params, images, indices)
+            pending.append((dev, np.asarray(images), np.asarray(indices),
+                            n_valid))
+            if len(pending) > depth:
+                d, im, ix, nv = pending.popleft()
+                yield self._finalize(d, params, im, ix, nv)
+        while pending:
+            d, im, ix, nv = pending.popleft()
+            yield self._finalize(d, params, im, ix, nv)
 
     def drain(self, timeout: Optional[float] = None) -> None:
         """Block until the verification queue is empty (all submitted
