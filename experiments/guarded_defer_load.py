@@ -57,6 +57,12 @@ def truth_child(in_npz: str, out_npz: str) -> None:
     d = np.load(in_npz)
     import jax.numpy as jnp
     import functools
+    imgs_in = d["images"]
+    if imgs_in.dtype == np.uint8:
+        # uint8 wire format: apply the on-device preprocess in f64
+        # (generator.preprocess_uint8 semantics, exact)
+        imgs_in = ((imgs_in.astype(np.float64) / 255.0 - 0.5) / 0.5
+                   ).transpose(0, 3, 1, 2)
     # f64 arrays + matmul_precision="float32" on CPU = native f64 math —
     # the exact methodology of experiments/make_golden.py / PERF.md 3d
     fn = jax.jit(functools.partial(
@@ -68,7 +74,7 @@ def truth_child(in_npz: str, out_npz: str) -> None:
                           init_params(jax.random.PRNGKey(0), VIT_BASE_16_224))
     out = [np.asarray(fn(params, jnp.asarray(img, jnp.float64),
                          jnp.int32(ix)))
-           for img, ix in zip(d["images"], d["indices"])]
+           for img, ix in zip(imgs_in, d["indices"])]
     np.savez(out_npz, truth=np.stack(out))
 
 
@@ -83,6 +89,14 @@ def main():
     ap.add_argument("--controls", type=int, default=8)
     ap.add_argument("--depth", type=int, default=4,
                     help="serve_stream pipeline depth")
+    ap.add_argument("--tier", default="cpu", choices=["cpu", "tpu-f32"],
+                    help="verifier tier (tpu-f32: micro-batched f32 "
+                         "re-check on the chip, CPU only on escalation)")
+    ap.add_argument("--verify-batch", type=int, default=16)
+    ap.add_argument("--input-format", default=None,
+                    choices=["uint8"],
+                    help="uint8: raw HWC frames on the wire, normalized "
+                         "on-device (4x less host->device traffic)")
     ap.add_argument("--cpu-smoke", action="store_true",
                     help="tiny config on CPU — validates the harness only")
     ap.add_argument("--skip-truth", action="store_true")
@@ -137,22 +151,34 @@ def main():
                 args.stress_rows, *imgs.shape[1:]).astype(np.float32)
             is_stress[:args.stress_rows] = True
         idx = rng.randint(0, cfg.num_classes, B).astype(np.int32)
+        if args.input_format == "uint8":
+            # serving wire format: raw HWC uint8 (inverse of the
+            # normalize transform, clipped to its representable range)
+            imgs = np.clip(np.rint((imgs * 0.5 + 0.5) * 255.0),
+                           0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
         batches.append((imgs, idx, is_stress))
 
     bounds = None          # committed ENVELOPE_BOUNDS
     if args.cpu_smoke:     # smoke: calibrate on this traffic, then tighten
         diag_fn = make_explain_fn(cfg, "transformer_attribution",
-                                  with_diagnostics=True)
+                                  with_diagnostics=True,
+                                  preprocess=args.input_format)
         _, diag = diag_fn(params, batches[0][0], batches[0][1])
         bounds = calibrate_envelope(np.asarray(diag), margin=1.02)
 
-    srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds)
+    srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds,
+                        tier=args.tier, verify_batch=args.verify_batch,
+                        input_format=args.input_format)
 
-    # ---- warmup (compile both the guard program and the CPU verifier)
+    # ---- warmup (compile the guard program at batch shape, the tier
+    # micro-batch shape, and the exact-CPU verifier)
     w_imgs = benign(97, B)
     w_idx = rng.randint(0, cfg.num_classes, B).astype(np.int32)
-    t = srv.submit(params, w_imgs, w_idx)
-    srv._q.put((t, params, w_imgs[0], w_idx[0], 0, time.monotonic()))
+    if args.input_format == "uint8":
+        w_imgs = np.clip(np.rint((w_imgs * 0.5 + 0.5) * 255.0),
+                         0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+    srv.submit(params, w_imgs, w_idx)
+    srv.warmup(params, w_imgs[0], int(w_idx[0]))
     srv.drain(timeout=1200)
     srv.reset_stats()      # drop the compile-time service sample
 
@@ -182,7 +208,7 @@ def main():
         "drain_tail_s": t_drain_end - t_submit_end,
         "queue": {k: stats_a[k] for k in stats_a
                   if k.startswith(("queue", "service", "verifier"))
-                  or k in ("n_flagged", "flag_rate")},
+                  or k in ("n_flagged", "flag_rate", "n_tier_cleared", "n_escalated")},
     }
     srv.reset_stats()
 
@@ -202,6 +228,8 @@ def main():
     report = {
         "config": {"batches": NB, "batch": B, "samples": n_total,
                    "stress_rows": args.stress_rows, "depth": args.depth,
+                   "tier": args.tier, "verify_batch": args.verify_batch,
+                   "input_format": args.input_format,
                    "smoke": bool(args.cpu_smoke)},
         "throughput": {
             "stream_expl_s": n_total / (t_submit_end - t_start),
@@ -219,7 +247,7 @@ def main():
         },
         "queue": {k: stats[k] for k in stats
                   if k.startswith(("queue", "service", "verifier"))
-                  or k in ("n_flagged", "flag_rate")},
+                  or k in ("n_flagged", "flag_rate", "n_tier_cleared", "n_escalated")},
     }
 
     # ---- end-to-end fidelity incl. deferred corrections (f64 truth)
@@ -235,8 +263,10 @@ def main():
         todo = corrected + control
         if todo:
             _os.makedirs(DATA, exist_ok=True)
-            in_npz = _os.path.join(DATA, "guarded_defer_load_in.npz")
-            tr_npz = _os.path.join(DATA, "guarded_defer_load_truth.npz")
+            stem = (args.out[:-5] if args.out.endswith(".json")
+                    else args.out)
+            in_npz = stem + "_in.npz"
+            tr_npz = stem + "_truth.npz"
             np.savez(in_npz,
                      images=np.stack([x[0] for x in todo]),
                      indices=np.asarray([x[1] for x in todo], np.int32))

@@ -171,3 +171,123 @@ def test_server_rejects_submit_after_close(setup):
     with pytest.raises(RuntimeError):
         srv.submit(params, imgs, idx)
     srv.close()      # idempotent
+
+
+# ---------------------------------------------------------------- tiers
+
+
+def test_tier_f32_clears_benign_flags(setup):
+    """tier='tpu-f32': flagged rows whose production heatmap agrees with
+    the f32 re-check are cleared with the f32 result in one micro-batch —
+    no exact-CPU escalation."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL, tier="tpu-f32",
+                       verify_batch=4) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.flagged.all()
+        assert t.wait(timeout=300)
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_tier_cleared"] == 4 and s["n_escalated"] == 0
+
+
+def test_tier_f32_escalates_on_disagreement(setup):
+    """An impossible tier agreement forces every flagged row to escalate
+    to the exact-CPU program — the strict-mode policy for rows where the
+    production and f32 programs disagree."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL, tier="tpu-f32",
+                       tier_agreement=2.0, verify_batch=3) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.wait(timeout=300)
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_escalated"] == 4 and s["n_tier_cleared"] == 0
+    assert sorted(t.corrections) == [0, 1, 2, 3]
+
+
+def test_tier_f32_program_failure_falls_back_to_cpu(setup):
+    """A dying tier program (e.g. relay outage) must not lose rows: the
+    whole micro-batch falls back to per-row exact CPU."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL, tier="tpu-f32") as srv:
+        def dead(*a):
+            raise RuntimeError("relay outage")
+        srv._tier_fn = dead
+        t = srv.submit(params, imgs, idx)
+        assert t.wait(timeout=300)
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_errors"] == 0 and s["n_tier_cleared"] == 0
+    assert sorted(t.corrections) == [0, 1, 2, 3]
+
+
+def test_tier_f32_rejected_in_strict_mode():
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, mode="strict", tier="tpu-f32")
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, tier="gpu")
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, input_format="float16")
+
+
+# ------------------------------------------------------ uint8 wire format
+
+
+@pytest.fixture(scope="module")
+def setup_uint8(setup):
+    params, imgs, idx = setup
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    # host-side equivalent of the on-device preprocess, f32 throughout
+    host = ((u8.astype(np.float32) / np.float32(255.0)) - np.float32(0.5))
+    host = (host / np.float32(0.5)).transpose(0, 3, 1, 2)
+    return params, u8, host, idx
+
+
+def test_preprocess_uint8_matches_host_normalization(setup_uint8):
+    """make_explain_fn(preprocess='uint8') on raw HWC frames equals the
+    default program on host-normalized CHW floats."""
+    params, u8, host, idx = setup_uint8
+    fn_u8 = make_explain_fn(CFG, "transformer_attribution",
+                            preprocess="uint8")
+    fn_f32 = make_explain_fn(CFG, "transformer_attribution")
+    a = np.asarray(fn_u8(params, jnp.asarray(u8), idx))
+    b = np.asarray(fn_f32(params, jnp.asarray(host), idx))
+    # XLA lowers the on-device divides as multiplies — inputs can differ
+    # by 1 ulp, which relprop amplifies to ~1e-3 relative; assert
+    # near-equality plus per-sample correlation
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-8)
+    for i in range(a.shape[0]):
+        x = a[i].ravel() - a[i].mean()
+        y = b[i].ravel() - b[i].mean()
+        corr = x @ y / (np.linalg.norm(x) * np.linalg.norm(y))
+        assert corr > 0.999999, (i, corr)
+
+
+def test_server_uint8_wire_format_end_to_end(setup_uint8):
+    """GuardedServer(input_format='uint8'): all three programs (fast, tier,
+    exact CPU) consume raw frames; corrected rows match the f32 program on
+    the same raw frames."""
+    params, u8, host, idx = setup_uint8
+    f32_u8 = make_explain_fn(CFG, "transformer_attribution",
+                             preprocess="uint8",
+                             matmul_precision="float32")
+    want = np.asarray(f32_u8(params, jnp.asarray(u8), idx))
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL, tier="tpu-f32",
+                       input_format="uint8", verify_batch=4) as srv:
+        srv.warmup(params, u8[0], -1)
+        t = srv.submit(params, u8, idx)
+        assert t.wait(timeout=300)
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_tier_cleared"] == 4

@@ -48,6 +48,36 @@ METHODS = {
 }
 
 
+# On-device preprocessing (the serving wire format): ship uint8 HWC frames
+# and normalize INSIDE the XLA program. 4x less host->device traffic (and
+# host RAM bandwidth) than pre-normalized f32 CHW — on the axon relay the
+# tunnel's ~30 MB/s makes f32 input shipping the hard throughput ceiling
+# (~50 expl/s at B=96; PERF.md round 5). Constants match the reference's
+# transform (example.ipynb: Normalize(mean=[0.5]*3, std=[0.5]*3)).
+PREPROCESS_MEAN = (0.5, 0.5, 0.5)
+PREPROCESS_STD = (0.5, 0.5, 0.5)
+
+
+def preprocess_uint8(img_hwc: Array,
+                     mean: tuple = PREPROCESS_MEAN,
+                     std: tuple = PREPROCESS_STD) -> Array:
+    """(H, W, C) uint8 -> normalized (C, H, W) float32, traceable (runs
+    inside the explain program — the VPU does the cast/scale, fused into
+    the first conv's input)."""
+    x = img_hwc.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return jnp.transpose(x, (2, 0, 1))
+
+
+def _apply_preprocess(img: Array, preprocess: Optional[str]) -> Array:
+    if preprocess is None:
+        return img
+    if preprocess == "uint8":
+        return preprocess_uint8(img)
+    raise ValueError(f"unknown preprocess {preprocess!r} "
+                     "(None or 'uint8')")
+
+
 def _one_hot_index(logits: Array, index: Array, num_classes: int) -> Array:
     """index >= 0 -> that class; index < 0 -> argmax (the reference's
     ``index=None`` path, ViT_explanation_generator.py:28-29)."""
@@ -341,10 +371,14 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
                     mlp_precision: Optional[str] = None,
                     mlp_fwd_precision: Optional[str] = None,
                     mlp_bwd_precision: Optional[str] = None,
-                    with_diagnostics: bool = False):
+                    with_diagnostics: bool = False,
+                    preprocess: Optional[str] = None):
     """Build a jitted, vmapped ``fn(params, images, indices) -> heatmaps``.
 
-    images: (B, C, H, W); indices: (B,) int32, -1 for argmax.
+    images: (B, C, H, W); indices: (B,) int32, -1 for argmax. With
+    ``preprocess="uint8"`` images are instead raw (B, H, W, C) uint8 frames
+    and the normalize/transpose runs on-device (:func:`preprocess_uint8` —
+    the serving wire format; 4x less host->device traffic).
     ``matmul_precision``: "float32" for reference parity (fp32 accumulation on
     the MXU), "bfloat16"/"tensorfloat32" for throughput.
     ``relprop_precision``: optional override for the LRP rules only — they
@@ -364,6 +398,7 @@ def make_explain_fn(cfg: ViTConfig, method: str = "transformer_attribution",
     """
 
     def single(params, img, index):
+        img = _apply_preprocess(img, preprocess)
         with jax.default_matmul_precision(matmul_precision):
             return explain_single(params, img, index, cfg, method,
                                   start_layer, is_ablation, alpha, variant,
@@ -476,7 +511,8 @@ def _batch_corr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def make_cpu_exact_fn(cfg: ViTConfig, start_layer: int = 0,
-                      matmul_precision: str = "float32"):
+                      matmul_precision: str = "float32",
+                      preprocess: Optional[str] = None):
     """One-sample exact-CPU ``transformer_attribution`` — the guarantee
     path's verifier, shared by :func:`make_guarded_explain_fn`'s sync
     fallback and the async verification queue
@@ -508,6 +544,7 @@ def make_cpu_exact_fn(cfg: ViTConfig, start_layer: int = 0,
                 # jax.default_backend(), which is still "tpu" in this
                 # process — the Pallas kernels cannot run on the CPU device
                 # this program is placed on
+                im = _apply_preprocess(im, preprocess)
                 return explain_single(p, im, ix, cfg,
                                       "transformer_attribution",
                                       start_layer=start_layer,
@@ -565,8 +602,12 @@ def make_guarded_explain_fn(cfg: ViTConfig, start_layer: int = 0,
         held-out benign augments + 16 real images) at ~0 cost, but
         CANNOT see in-envelope failures — on
         random weights, real-image-class inputs keep their lottery tail.
-        Use for serving trained checkpoints where the envelope is
-        calibrated on known-good traffic.
+        Measured end-to-end under load (round 5,
+        ``experiments/guarded_control_diag.py``): an unflagged benign
+        control drew corr −0.27 vs f64 truth; of 6 genuinely-bad control
+        rows the envelope caught 0 while the strict statistic catches
+        6/6. Envelope mode is an anomaly detector, NOT a per-sample
+        fidelity guarantee — the guarantee mode is strict.
 
     Returns ``fn(params, images, indices, n_valid=None) -> heatmaps``
     (numpy; host-side splicing; ``n_valid`` limits fallbacks to the first
