@@ -119,6 +119,10 @@ def main():
     tau = STRICT_AGREEMENT
     truth_corr = {name: _corrs(heats[name][:n_lab], lab_truth)
                   for name in programs}
+    np.savez(_os.path.join(DATA, "strict_econ_rows.npz"),
+             **{f"truth_{n}": truth_corr[n] for n in programs},
+             **{f"agree_{n}": _corrs(heats["prod"], heats[n])
+                for n in ("f32", "lite_a", "lite_b")})
     bad = truth_corr["prod"] < 0.999
     report = {"n_labeled": n_lab, "n_benign": len(ben_imgs),
               "strict_agreement": tau, "batch": B,
@@ -148,6 +152,21 @@ def main():
                 round(float(truth_corr[name][agree_lab < tau].min()), 6)
                 if (agree_lab < tau).any() else None),
         }
+
+    # the tier's delivery question at THIS batch shape's realization:
+    # delivered floor (f32 vs truth) inside vs outside the
+    # deep-disagreement band (serving.TIER_AGREEMENT = 0.99)
+    agree_f32_lab = _corrs(heats["prod"][:n_lab], heats["f32"][:n_lab])
+    report["f32_band_floor"] = {}
+    for name, mask in (("agree_ge_0.99", agree_f32_lab >= 0.99),
+                       ("agree_lt_0.99", agree_f32_lab < 0.99)):
+        if mask.any():
+            report["f32_band_floor"][name] = {
+                "n": int(mask.sum()),
+                "f32_truth_min": round(
+                    float(truth_corr["f32"][mask].min()), 6),
+                "prod_truth_min": round(
+                    float(truth_corr["prod"][mask].min()), 6)}
 
     # ---- throughput (interleaved, steady-state windows) ---------------
     ji = jnp.asarray(all_imgs[:B])

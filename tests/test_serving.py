@@ -240,6 +240,50 @@ def test_tier_f32_rejected_in_strict_mode():
         GuardedServer(CFG, input_format="float16")
 
 
+def test_strict_deliver_f32_policy(setup):
+    """strict_policy='deliver-f32': flagged rows are synchronously
+    replaced by the f32 co-run result (no queue), only deep-disagreement
+    rows escalate to CPU."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    # agreement=2.0 flags everything; tier_agreement=-2.0 -> nothing deep
+    with GuardedServer(CFG, mode="strict", strict_policy="deliver-f32",
+                       agreement=2.0, tier_agreement=-2.0) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.done and not t.flagged.any()
+        assert t.delivered_f32 is not None and t.delivered_f32.all()
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_f32_delivered"] == 4 and s["n_flagged"] == 0
+
+
+def test_strict_deliver_f32_deep_rows_escalate(setup):
+    """tier_agreement=2.0 makes every flagged row 'deep': all go to CPU
+    and come back as the exact program's output."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    with GuardedServer(CFG, mode="strict", strict_policy="deliver-f32",
+                       agreement=2.0, tier_agreement=2.0) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.flagged.all()
+        assert t.wait(timeout=300)
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        assert sorted(t.corrections) == [0, 1, 2, 3]
+        s = srv.stats()
+    assert s["n_f32_delivered"] == 0 and s["n_flagged"] == 4
+
+
+def test_strict_deliver_f32_requires_strict_mode():
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, mode="envelope", strict_policy="deliver-f32")
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, mode="strict", strict_policy="f64")
+
+
 # ------------------------------------------------------ uint8 wire format
 
 

@@ -74,10 +74,14 @@ class BatchTicket:
     of this batch's flagged rows are verified."""
 
     def __init__(self, heatmaps: np.ndarray, flagged: np.ndarray,
-                 score: np.ndarray):
+                 score: np.ndarray,
+                 delivered_f32: Optional[np.ndarray] = None):
         self.heatmaps = heatmaps
         self.flagged = flagged
         self.score = score
+        # strict deliver-f32 policy: rows whose heatmap is the f32
+        # co-run's result (replaced synchronously, no queue round-trip)
+        self.delivered_f32 = delivered_f32
         self.corrections: dict = {}
         self.errors: dict = {}         # row -> repr(exception)
         self._pending = int(flagged.sum())
@@ -152,6 +156,21 @@ class GuardedServer:
         device time, with a measured delivered floor of 0.99944 vs f64
         truth on cleared rows.
 
+    Strict-mode policies (``strict_policy``, mode="strict" only):
+
+      * ``"cpu"`` (default) — every agreement failure queues for exact
+        CPU. On RANDOM weights this is an audit tool, not a serving
+        policy: 83% of fresh benign augments fail the 0.9999 agreement
+        (experiments/strict_econ.py, round 5d), i.e. ~2150 s of CPU per
+        1k samples.
+      * ``"deliver-f32"`` — flagged rows are synchronously replaced by
+        the f32 co-run's heatmap (already computed — no extra device
+        work) and only deep-disagreement rows (corr < ``tier_agreement``,
+        default :data:`TIER_AGREEMENT`) queue for CPU. This is the
+        serving shape of the strict guarantee: the co-run rate
+        (~114 expl/s measured at B=64) with an f32-class floor on every
+        delivered row and CPU only where f32 itself is suspect.
+
     ``input_format="uint8"`` switches the wire format to raw
     (B, H, W, C) uint8 frames, normalized on-device
     (:func:`~...explain.generator.preprocess_uint8`) — 4x less
@@ -170,6 +189,7 @@ class GuardedServer:
                  tier_agreement: Optional[float] = None,
                  verify_batch: int = 16,
                  input_format: Optional[str] = None,
+                 strict_policy: str = "cpu",
                  **precision_overrides):
         if mode not in ("strict", "envelope"):
             raise ValueError(f"unknown guarded mode {mode!r}")
@@ -177,6 +197,12 @@ class GuardedServer:
             raise ValueError(f"unknown verifier tier {tier!r}")
         if input_format not in (None, "uint8"):
             raise ValueError(f"unknown input_format {input_format!r}")
+        if strict_policy not in ("cpu", "deliver-f32"):
+            raise ValueError(f"unknown strict_policy {strict_policy!r}")
+        if strict_policy == "deliver-f32" and mode != "strict":
+            raise ValueError("strict_policy='deliver-f32' requires "
+                             "mode='strict' (envelope mode has no f32 "
+                             "co-run to deliver; use tier='tpu-f32')")
         kwargs = dict(PRECISION_PRESETS["production"])
         kwargs.update(precision_overrides)
         self._mode = mode
@@ -194,6 +220,9 @@ class GuardedServer:
                                           matmul_precision="float32")
             self._agreement = (STRICT_AGREEMENT if agreement is None
                                else agreement)
+            self._strict_policy = strict_policy
+            self._deep_agreement = (TIER_AGREEMENT if tier_agreement
+                                    is None else tier_agreement)
         else:
             self._fast = make_explain_fn(cfg, "transformer_attribution",
                                          start_layer=start_layer,
@@ -230,6 +259,7 @@ class GuardedServer:
         self._n_errors = 0
         self._n_tier_cleared = 0
         self._n_escalated = 0
+        self._n_f32_delivered = 0
         self._closed = False
         self._worker = threading.Thread(target=self._drain_loop,
                                         name="guarded-verifier", daemon=True)
@@ -349,19 +379,34 @@ class GuardedServer:
                   n_valid: Optional[int]) -> BatchTicket:
         """Host-sync one dispatched batch, compute flags, build its ticket,
         and enqueue flagged rows for async verification."""
+        delivered = None
         if self._mode == "strict":
             heat = np.array(dev[0])
-            score = _batch_corr(heat, np.asarray(dev[1]))
+            heat_f = np.asarray(dev[1])
+            score = _batch_corr(heat, heat_f)
             flagged = score < self._agreement
+            if n_valid is not None:
+                flagged = flagged & (np.arange(len(flagged)) < n_valid)
+            if self._strict_policy == "deliver-f32":
+                # the f32 co-run already computed the checker's heatmap:
+                # deliver it in place for every flagged row (f32-class
+                # result, no queue round-trip); only deep-disagreement
+                # rows — where f32 itself cannot be trusted — go to CPU
+                delivered = flagged
+                heat[delivered] = heat_f[delivered]
+                flagged = delivered & (score < self._deep_agreement)
+                with self._lock:
+                    self._n_f32_delivered += int(
+                        (delivered & ~flagged).sum())
         else:
             heat_d, diag_d = dev
             heat = np.array(heat_d)
             score = np.asarray(diag_d, np.float64)
             flagged = _envelope_flags(score, self._bounds)
             score = score[:, 6]          # g_growth, for info readability
-        if n_valid is not None:
-            flagged = flagged & (np.arange(len(flagged)) < n_valid)
-        ticket = BatchTicket(heat, flagged, score)
+            if n_valid is not None:
+                flagged = flagged & (np.arange(len(flagged)) < n_valid)
+        ticket = BatchTicket(heat, flagged, score, delivered_f32=delivered)
         rows = np.nonzero(flagged)[0]
         with self._lock:
             self._n_batches += 1
@@ -449,6 +494,7 @@ class GuardedServer:
             self._n_samples = self._n_flagged = self._n_batches = 0
             self._n_errors = 0
             self._n_tier_cleared = self._n_escalated = 0
+            self._n_f32_delivered = 0
             self._t_open = time.monotonic()
 
     def stats(self) -> dict:
@@ -465,6 +511,7 @@ class GuardedServer:
                 "n_errors": self._n_errors,
                 "n_tier_cleared": self._n_tier_cleared,
                 "n_escalated": self._n_escalated,
+                "n_f32_delivered": self._n_f32_delivered,
                 "flag_rate": (self._n_flagged / self._n_samples
                               if self._n_samples else 0.0),
                 "verifier_busy_s": self._busy_s,
