@@ -19,6 +19,12 @@ background CPU verifier drains flagged samples live:
 
 Writes experiments/data/guarded_defer_load.json (and _truth.npz).
 
+``--mode strict [--strict-policy deliver-f32]`` measures the strict
+(per-sample) guarantee's serving shape instead (PERF.md round 5d): the
+f32 co-run runs on every sample, flagged rows are delivered with the f32
+result, and only deep-disagreement rows queue for exact CPU; fidelity
+then also checks a sample of the delivered-f32 rows against f64 truth.
+
 Usage:
     python experiments/guarded_defer_load.py               # real TPU
     python experiments/guarded_defer_load.py --cpu-smoke   # tiny, CPU
@@ -92,6 +98,11 @@ def main():
     ap.add_argument("--tier", default="cpu", choices=["cpu", "tpu-f32"],
                     help="verifier tier (tpu-f32: micro-batched f32 "
                          "re-check on the chip, CPU only on escalation)")
+    ap.add_argument("--mode", default="envelope",
+                    choices=["envelope", "strict"])
+    ap.add_argument("--strict-policy", default="deliver-f32",
+                    choices=["cpu", "deliver-f32"],
+                    help="strict mode only (PERF.md round 5d)")
     ap.add_argument("--verify-batch", type=int, default=16)
     ap.add_argument("--input-format", default=None,
                     choices=["uint8"],
@@ -158,17 +169,22 @@ def main():
                            0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
         batches.append((imgs, idx, is_stress))
 
-    bounds = None          # committed ENVELOPE_BOUNDS
-    if args.cpu_smoke:     # smoke: calibrate on this traffic, then tighten
-        diag_fn = make_explain_fn(cfg, "transformer_attribution",
-                                  with_diagnostics=True,
-                                  preprocess=args.input_format)
-        _, diag = diag_fn(params, batches[0][0], batches[0][1])
-        bounds = calibrate_envelope(np.asarray(diag), margin=1.02)
-
-    srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds,
-                        tier=args.tier, verify_batch=args.verify_batch,
-                        input_format=args.input_format)
+    if args.mode == "strict":
+        # the co-run IS the checker; the tier applies to envelope only
+        srv = GuardedServer(cfg, mode="strict",
+                            strict_policy=args.strict_policy,
+                            input_format=args.input_format)
+    else:
+        bounds = None          # committed ENVELOPE_BOUNDS
+        if args.cpu_smoke:     # smoke: calibrate on this traffic, tighten
+            diag_fn = make_explain_fn(cfg, "transformer_attribution",
+                                      with_diagnostics=True,
+                                      preprocess=args.input_format)
+            _, diag = diag_fn(params, batches[0][0], batches[0][1])
+            bounds = calibrate_envelope(np.asarray(diag), margin=1.02)
+        srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds,
+                            tier=args.tier, verify_batch=args.verify_batch,
+                            input_format=args.input_format)
 
     # ---- warmup (compile the guard program at batch shape, the tier
     # micro-batch shape, and the exact-CPU verifier)
@@ -191,6 +207,18 @@ def main():
             fb += int((t.flagged & ~is_stress).sum())
         return fs, fb
 
+    def _delivered_split(tickets):
+        """deliver-f32 policy: (stress, benign) rows delivered with the
+        f32 co-run result (i.e. flagged by agreement but NOT escalated)."""
+        ds = db = 0
+        for t, (_, _, is_stress) in zip(tickets, batches):
+            if t.delivered_f32 is None:
+                continue
+            keep = t.delivered_f32 & ~t.flagged
+            ds += int((keep & is_stress).sum())
+            db += int((keep & ~is_stress).sum())
+        return ds, db
+
     # ---- phase A: synchronous submit loop (pays the device round-trip
     # per batch — the latency-bound path; measured 35 expl/s round 5)
     tickets_a = []
@@ -208,7 +236,8 @@ def main():
         "drain_tail_s": t_drain_end - t_submit_end,
         "queue": {k: stats_a[k] for k in stats_a
                   if k.startswith(("queue", "service", "verifier"))
-                  or k in ("n_flagged", "flag_rate", "n_tier_cleared", "n_escalated")},
+                  or k in ("n_flagged", "flag_rate", "n_tier_cleared",
+                           "n_escalated", "n_f32_delivered")},
     }
     srv.reset_stats()
 
@@ -229,7 +258,9 @@ def main():
         "config": {"batches": NB, "batch": B, "samples": n_total,
                    "stress_rows": args.stress_rows, "depth": args.depth,
                    "tier": args.tier, "verify_batch": args.verify_batch,
-                   "input_format": args.input_format,
+                   "input_format": args.input_format, "mode": args.mode,
+                   "strict_policy": (args.strict_policy
+                                     if args.mode == "strict" else None),
                    "smoke": bool(args.cpu_smoke)},
         "throughput": {
             "stream_expl_s": n_total / (t_submit_end - t_start),
@@ -247,20 +278,31 @@ def main():
         },
         "queue": {k: stats[k] for k in stats
                   if k.startswith(("queue", "service", "verifier"))
-                  or k in ("n_flagged", "flag_rate", "n_tier_cleared", "n_escalated")},
+                  or k in ("n_flagged", "flag_rate", "n_tier_cleared",
+                           "n_escalated", "n_f32_delivered")},
     }
+    dl_stress, dl_benign = _delivered_split(tickets)
+    if dl_stress or dl_benign:
+        report["delivered_f32"] = {"stress": dl_stress,
+                                   "benign": dl_benign}
 
     # ---- end-to-end fidelity incl. deferred corrections (f64 truth)
     if not args.skip_truth:
-        corrected, control = [], []
+        corrected, control, delivered = [], [], []
         for t, (imgs, idx, _) in zip(tickets, batches):
             for r in sorted(t.corrections):
                 corrected.append((imgs[r], idx[r], t.heatmaps[r]))
-            for r in np.nonzero(~t.flagged)[0][:1]:
+            dl = (t.delivered_f32 if t.delivered_f32 is not None
+                  else np.zeros_like(t.flagged))
+            for r in np.nonzero(dl & ~t.flagged)[0][:2]:
+                delivered.append((imgs[r], idx[r], t.heatmaps[r]))
+            # controls: clean rows (neither corrected nor f32-delivered)
+            for r in np.nonzero(~t.flagged & ~dl)[0][:1]:
                 control.append((imgs[r], idx[r], t.heatmaps[r]))
         corrected = corrected[:args.max_truth]
+        delivered = delivered[:args.max_truth]
         control = control[:args.controls]
-        todo = corrected + control
+        todo = corrected + delivered + control
         if todo:
             _os.makedirs(DATA, exist_ok=True)
             stem = (args.out[:-5] if args.out.endswith(".json")
@@ -280,13 +322,16 @@ def main():
                 truth = np.load(tr_npz)["truth"]
                 cc = [_corr(h, tt) for (_, _, h), tt
                       in zip(todo, truth)]
-                nc = len(corrected)
+                nc, nd = len(corrected), len(delivered)
                 report["fidelity"] = {
                     "n_corrected_checked": nc,
+                    "n_delivered_checked": nd,
                     "n_control": len(control),
                     "corrected_min_corr": min(cc[:nc]) if nc else None,
-                    "control_min_corr": (min(cc[nc:])
-                                         if len(cc) > nc else None),
+                    "delivered_min_corr": (min(cc[nc:nc + nd])
+                                           if nd else None),
+                    "control_min_corr": (min(cc[nc + nd:])
+                                         if len(cc) > nc + nd else None),
                 }
     srv.close()
 

@@ -335,3 +335,52 @@ def test_server_uint8_wire_format_end_to_end(setup_uint8):
         np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
         s = srv.stats()
     assert s["n_tier_cleared"] == 4
+
+
+# ------------------------------------------- verifier cache thread-safety
+
+
+def test_cpu_exact_fn_concurrent_first_call(setup, monkeypatch):
+    """Regression: make_cpu_exact_fn's cache fill must be atomic.
+
+    GuardedServer calls the same verifier fn from its caller thread
+    (warmup) and its drain worker concurrently; before the lock, a reader
+    arriving mid-fill saw the key already set but no 'params' entry and
+    died with KeyError — observed live the first time a high-flag-rate
+    batch was submitted before warmup (round 5e). device_put is delayed
+    here to hold the fill window open deterministically."""
+    import threading as _th
+    import time as _time
+    from transformer_explainability_tpu.explain import generator as gen
+
+    params, imgs, idx = setup
+    fn = gen.make_cpu_exact_fn(CFG)
+    real_put = jax.device_put
+    entered = _th.Event()
+
+    def slow_put(x, device=None):
+        # first caller parks inside the cache-fill long enough for the
+        # second thread to run its whole cache check
+        if not entered.is_set():
+            entered.set()
+            _time.sleep(0.5)
+        return real_put(x, device)
+
+    monkeypatch.setattr(gen.jax, "device_put", slow_put)
+    img0 = np.asarray(imgs[0])
+    errs, outs = [], []
+
+    def call():
+        try:
+            outs.append(fn(params, img0, 1))
+        except Exception as e:          # the pre-fix failure mode
+            errs.append(e)
+
+    threads = [_th.Thread(target=call) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs, errs
+    assert len(outs) == 2
+    np.testing.assert_array_equal(outs[0], outs[1])

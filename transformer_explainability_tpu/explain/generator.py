@@ -22,6 +22,7 @@ need, since the method is a static argument.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional
 
 import jax
@@ -522,42 +523,48 @@ def make_cpu_exact_fn(cfg: ViTConfig, start_layer: int = 0,
     exists only on the host CPU (the TPU "f32" is the MXU's bf16x6
     emulation — PERF.md round 3d), so the program is pinned to the CPU
     device regardless of the default backend; compiles once, reused across
-    calls. Thread-safe for single-producer use: dedicated state per
-    returned fn."""
+    calls. Thread-safe: GuardedServer calls the same fn from both its
+    caller thread (warmup) and its drain worker, so the cache fill is
+    locked — a partially-filled cache must never be visible to a second
+    thread (a first high-flag-rate batch makes that race near-certain)."""
     cpu_state = {}        # source pytree -> CPU copy; plus compiled fn
+    cpu_lock = threading.Lock()
 
     def _fallback(params, img, index):
         cpu = jax.devices("cpu")[0]
-        # Cache keyed on id(params), but holding a strong reference to the
-        # keyed pytree ("src"): without it a GC'd pytree's id can be
-        # recycled by a NEW params object, and flagged samples would re-run
-        # against the WRONG weights — on the exact-correctness path
-        # (ADVICE round 4; the weight-mismatch precedent is PERF.md 4a).
-        key = id(params)
-        if cpu_state.get("key") != key or cpu_state.get("src") is not params:
-            cpu_state["key"] = key
-            cpu_state["src"] = params
-            cpu_state["params"] = jax.device_put(params, cpu)
-        if "fn" not in cpu_state:
-            def single(p, im, ix):
-                # use_attn_kernel=False explicitly: the auto-gate keys on
-                # jax.default_backend(), which is still "tpu" in this
-                # process — the Pallas kernels cannot run on the CPU device
-                # this program is placed on
-                im = _apply_preprocess(im, preprocess)
-                return explain_single(p, im, ix, cfg,
-                                      "transformer_attribution",
-                                      start_layer=start_layer,
-                                      matmul_precision=matmul_precision,
-                                      use_attn_kernel=False)
-            cpu_state["fn"] = jax.jit(single)
+        with cpu_lock:
+            # Cache keyed on id(params), but holding a strong reference to
+            # the keyed pytree ("src"): without it a GC'd pytree's id can
+            # be recycled by a NEW params object, and flagged samples would
+            # re-run against the WRONG weights — on the exact-correctness
+            # path (ADVICE round 4; the precedent is PERF.md 4a).
+            key = id(params)
+            if (cpu_state.get("key") != key
+                    or cpu_state.get("src") is not params):
+                cpu_state["params"] = jax.device_put(params, cpu)
+                cpu_state["src"] = params
+                cpu_state["key"] = key
+            if "fn" not in cpu_state:
+                def single(p, im, ix):
+                    # use_attn_kernel=False explicitly: the auto-gate keys
+                    # on jax.default_backend(), which is still "tpu" in
+                    # this process — the Pallas kernels cannot run on the
+                    # CPU device this program is placed on
+                    im = _apply_preprocess(im, preprocess)
+                    return explain_single(p, im, ix, cfg,
+                                          "transformer_attribution",
+                                          start_layer=start_layer,
+                                          matmul_precision=matmul_precision,
+                                          use_attn_kernel=False)
+                cpu_state["fn"] = jax.jit(single)
+            fn, cpu_params = cpu_state["fn"], cpu_state["params"]
         # args committed to the CPU device -> the jit runs on the CPU
         # backend (computation follows data); one compile, reused across
-        # flagged samples
-        return np.asarray(cpu_state["fn"](cpu_state["params"],
-                                          jax.device_put(np.asarray(img), cpu),
-                                          jax.device_put(np.asarray(index),
-                                                         cpu)))
+        # flagged samples. The jitted call runs OUTSIDE the lock (XLA
+        # executables are thread-safe) so verifier threads don't serialize.
+        return np.asarray(fn(cpu_params,
+                             jax.device_put(np.asarray(img), cpu),
+                             jax.device_put(np.asarray(index), cpu)))
 
     return _fallback
 

@@ -168,8 +168,14 @@ class GuardedServer:
         work) and only deep-disagreement rows (corr < ``tier_agreement``,
         default :data:`TIER_AGREEMENT`) queue for CPU. This is the
         serving shape of the strict guarantee: the co-run rate
-        (~114 expl/s measured at B=64) with an f32-class floor on every
-        delivered row and CPU only where f32 itself is suspect.
+        (~114 expl/s measured at B=64) with exact-f32-class math on
+        every delivered row, CPU only where prod and f32 disagree
+        outright. The guarantee is BY CONSTRUCTION (delivered == the f32
+        co-run's output); fidelity to f64 truth on a given row depends
+        on that row's numeric conditioning, not on the policy — measured
+        in-band floors range 0.9994-0.972 across populations, and on
+        deep-disagreement rows even exact f32 diverges from f64
+        (PERF.md rounds 3d/5b/5d/5e).
 
     ``input_format="uint8"`` switches the wire format to raw
     (B, H, W, C) uint8 frames, normalized on-device
