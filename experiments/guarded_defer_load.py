@@ -103,6 +103,10 @@ def main():
     ap.add_argument("--strict-policy", default="deliver-f32",
                     choices=["cpu", "deliver-f32"],
                     help="strict mode only (PERF.md round 5d)")
+    ap.add_argument("--escalation-budget", type=int, default=None,
+                    help="bound the verification backlog: flagged rows "
+                         "beyond it are load-shed with their delivered "
+                         "heatmap (PERF.md round 5e)")
     ap.add_argument("--verify-batch", type=int, default=16)
     ap.add_argument("--input-format", default=None,
                     choices=["uint8"],
@@ -173,6 +177,7 @@ def main():
         # the co-run IS the checker; the tier applies to envelope only
         srv = GuardedServer(cfg, mode="strict",
                             strict_policy=args.strict_policy,
+                            escalation_budget=args.escalation_budget,
                             input_format=args.input_format)
     else:
         bounds = None          # committed ENVELOPE_BOUNDS
@@ -184,6 +189,7 @@ def main():
             bounds = calibrate_envelope(np.asarray(diag), margin=1.02)
         srv = GuardedServer(cfg, mode="envelope", envelope_bounds=bounds,
                             tier=args.tier, verify_batch=args.verify_batch,
+                            escalation_budget=args.escalation_budget,
                             input_format=args.input_format)
 
     # ---- warmup (compile the guard program at batch shape, the tier
@@ -237,7 +243,7 @@ def main():
         "queue": {k: stats_a[k] for k in stats_a
                   if k.startswith(("queue", "service", "verifier"))
                   or k in ("n_flagged", "flag_rate", "n_tier_cleared",
-                           "n_escalated", "n_f32_delivered")},
+                           "n_escalated", "n_f32_delivered", "n_shed")},
     }
     srv.reset_stats()
 
@@ -259,6 +265,7 @@ def main():
                    "stress_rows": args.stress_rows, "depth": args.depth,
                    "tier": args.tier, "verify_batch": args.verify_batch,
                    "input_format": args.input_format, "mode": args.mode,
+                   "escalation_budget": args.escalation_budget,
                    "strict_policy": (args.strict_policy
                                      if args.mode == "strict" else None),
                    "smoke": bool(args.cpu_smoke)},
@@ -279,7 +286,7 @@ def main():
         "queue": {k: stats[k] for k in stats
                   if k.startswith(("queue", "service", "verifier"))
                   or k in ("n_flagged", "flag_rate", "n_tier_cleared",
-                           "n_escalated", "n_f32_delivered")},
+                           "n_escalated", "n_f32_delivered", "n_shed")},
     }
     dl_stress, dl_benign = _delivered_split(tickets)
     if dl_stress or dl_benign:
@@ -288,21 +295,28 @@ def main():
 
     # ---- end-to-end fidelity incl. deferred corrections (f64 truth)
     if not args.skip_truth:
-        corrected, control, delivered = [], [], []
+        corrected, control, delivered, shed = [], [], [], []
         for t, (imgs, idx, _) in zip(tickets, batches):
             for r in sorted(t.corrections):
                 corrected.append((imgs[r], idx[r], t.heatmaps[r]))
             dl = (t.delivered_f32 if t.delivered_f32 is not None
                   else np.zeros_like(t.flagged))
+            sh = (t.shed if t.shed is not None
+                  else np.zeros_like(t.flagged))
             for r in np.nonzero(dl & ~t.flagged)[0][:2]:
                 delivered.append((imgs[r], idx[r], t.heatmaps[r]))
+            # load-shed rows: flagged (deep-disagreement in deliver-f32
+            # mode) but never verified — the budget's fidelity cost
+            for r in np.nonzero(sh)[0][:2]:
+                shed.append((imgs[r], idx[r], t.heatmaps[r]))
             # controls: clean rows (neither corrected nor f32-delivered)
             for r in np.nonzero(~t.flagged & ~dl)[0][:1]:
                 control.append((imgs[r], idx[r], t.heatmaps[r]))
         corrected = corrected[:args.max_truth]
         delivered = delivered[:args.max_truth]
+        shed = shed[:args.max_truth]
         control = control[:args.controls]
-        todo = corrected + delivered + control
+        todo = corrected + delivered + shed + control
         if todo:
             _os.makedirs(DATA, exist_ok=True)
             stem = (args.out[:-5] if args.out.endswith(".json")
@@ -322,16 +336,20 @@ def main():
                 truth = np.load(tr_npz)["truth"]
                 cc = [_corr(h, tt) for (_, _, h), tt
                       in zip(todo, truth)]
-                nc, nd = len(corrected), len(delivered)
+                nc, nd, ns = len(corrected), len(delivered), len(shed)
                 report["fidelity"] = {
                     "n_corrected_checked": nc,
                     "n_delivered_checked": nd,
+                    "n_shed_checked": ns,
                     "n_control": len(control),
                     "corrected_min_corr": min(cc[:nc]) if nc else None,
                     "delivered_min_corr": (min(cc[nc:nc + nd])
                                            if nd else None),
-                    "control_min_corr": (min(cc[nc + nd:])
-                                         if len(cc) > nc + nd else None),
+                    "shed_min_corr": (min(cc[nc + nd:nc + nd + ns])
+                                      if ns else None),
+                    "control_min_corr": (min(cc[nc + nd + ns:])
+                                         if len(cc) > nc + nd + ns
+                                         else None),
                 }
     srv.close()
 

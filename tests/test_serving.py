@@ -384,3 +384,63 @@ def test_cpu_exact_fn_concurrent_first_call(setup, monkeypatch):
     assert not errs, errs
     assert len(outs) == 2
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+# ------------------------------------------------- escalation load-shedding
+
+
+def test_escalation_budget_zero_sheds_everything(setup):
+    """budget=0: flagged rows are never queued — ticket completes
+    immediately, heatmaps stay the delivered (f32) results, all rows
+    marked shed."""
+    params, imgs, idx = setup
+    f32 = make_explain_fn(CFG, "transformer_attribution",
+                          matmul_precision="float32")
+    want = np.asarray(f32(params, imgs, idx))
+    with GuardedServer(CFG, mode="strict", strict_policy="deliver-f32",
+                       agreement=2.0, tier_agreement=2.0,
+                       escalation_budget=0) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.done and not t.corrections
+        assert t.shed is not None and t.shed.all()
+        assert t.flagged.all()          # the check verdict is preserved
+        np.testing.assert_allclose(t.heatmaps, want, rtol=1e-5, atol=1e-7)
+        s = srv.stats()
+    assert s["n_shed"] == 4 and s["n_flagged"] == 4
+
+
+def test_escalation_budget_partial(setup):
+    """budget=2 with 4 flagged rows in one batch: exactly 2 are verified
+    (exact-CPU corrections land), 2 are shed."""
+    params, imgs, idx = setup
+    with GuardedServer(CFG, mode="strict", strict_policy="deliver-f32",
+                       agreement=2.0, tier_agreement=2.0,
+                       escalation_budget=2) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.shed is not None and int(t.shed.sum()) == 2
+        assert t.wait(timeout=300)
+        assert len(t.corrections) == 2
+        assert set(t.corrections) == set(np.nonzero(~t.shed)[0].tolist())
+        s = srv.stats()
+    assert s["n_shed"] == 2 and s["n_flagged"] == 4
+
+
+def test_escalation_budget_envelope_mode(setup):
+    """Envelope mode budget=0: flag-everything bounds produce a done
+    ticket with untouched fast heatmaps and full shed accounting."""
+    params, imgs, idx = setup
+    fast = make_explain_fn(CFG, "transformer_attribution",
+                           with_diagnostics=True)
+    want = np.asarray(fast(params, imgs, idx)[0])
+    with GuardedServer(CFG, envelope_bounds=FLAG_ALL,
+                       escalation_budget=0) as srv:
+        t = srv.submit(params, imgs, idx)
+        assert t.done and t.shed is not None and t.shed.all()
+        np.testing.assert_array_equal(t.heatmaps, want)
+        s = srv.stats()
+    assert s["n_shed"] == 4
+
+
+def test_escalation_budget_rejects_negative():
+    with pytest.raises(ValueError):
+        GuardedServer(CFG, escalation_budget=-1)

@@ -75,18 +75,24 @@ class BatchTicket:
 
     def __init__(self, heatmaps: np.ndarray, flagged: np.ndarray,
                  score: np.ndarray,
-                 delivered_f32: Optional[np.ndarray] = None):
+                 delivered_f32: Optional[np.ndarray] = None,
+                 shed: Optional[np.ndarray] = None):
         self.heatmaps = heatmaps
         self.flagged = flagged
         self.score = score
         # strict deliver-f32 policy: rows whose heatmap is the f32
         # co-run's result (replaced synchronously, no queue round-trip)
         self.delivered_f32 = delivered_f32
+        # escalation_budget load-shedding: flagged rows NOT enqueued for
+        # verification (they keep their delivered heatmap); route these
+        # to offline audit if the application needs them verified
+        self.shed = shed
         self.corrections: dict = {}
         self.errors: dict = {}         # row -> repr(exception)
-        self._pending = int(flagged.sum())
+        self._pending = int(flagged.sum()) - (
+            int(shed.sum()) if shed is not None else 0)
         self._done = threading.Event()
-        if self._pending == 0:
+        if self._pending <= 0:
             self._done.set()
 
     def _deliver(self, row: int, heat: np.ndarray) -> None:
@@ -123,6 +129,18 @@ class GuardedServer:
     threshold is controllable). ``max_queue`` bounds the verification
     backlog — when full, enqueueing blocks (back-pressure) rather than
     growing without bound.
+
+    ``escalation_budget`` (default None = unbounded) caps the number of
+    rows WAITING for verification instead of blocking: flagged rows that
+    would push the queue past the budget are load-shed — they keep their
+    delivered heatmap (the f32 co-run result under
+    ``strict_policy="deliver-f32"``, the production result otherwise),
+    are marked in ``ticket.shed``, and count in ``stats()["n_shed"]``.
+    This is the sustained-load answer to PERF.md round 5e: one CPU
+    verifier diverges at a 16% escalation rate (p50 queue wait 216 s
+    within 12 batches), so a latency-bound service must bound the backlog
+    and route shed rows to offline audit rather than let every ticket's
+    completion time grow without limit.
 
     Two submission paths:
 
@@ -191,7 +209,8 @@ class GuardedServer:
                  envelope_bounds: Optional[dict] = None,
                  agreement: Optional[float] = None,
                  fallback_precision: str = "float32",
-                 max_queue: int = 256, tier: str = "cpu",
+                 max_queue: int = 256, escalation_budget: Optional[int] = None,
+                 tier: str = "cpu",
                  tier_agreement: Optional[float] = None,
                  verify_batch: int = 16,
                  input_format: Optional[str] = None,
@@ -253,6 +272,9 @@ class GuardedServer:
                                     is None else tier_agreement)
             self._verify_batch = max(int(verify_batch), 1)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        if escalation_budget is not None and escalation_budget < 0:
+            raise ValueError("escalation_budget must be >= 0 (or None)")
+        self._escalation_budget = escalation_budget
         self._lock = threading.Lock()          # protects the stats lists
         self._busy_s = 0.0
         self._t_open = time.monotonic()
@@ -266,6 +288,7 @@ class GuardedServer:
         self._n_tier_cleared = 0
         self._n_escalated = 0
         self._n_f32_delivered = 0
+        self._n_shed = 0
         self._closed = False
         self._worker = threading.Thread(target=self._drain_loop,
                                         name="guarded-verifier", daemon=True)
@@ -412,13 +435,26 @@ class GuardedServer:
             score = score[:, 6]          # g_growth, for info readability
             if n_valid is not None:
                 flagged = flagged & (np.arange(len(flagged)) < n_valid)
-        ticket = BatchTicket(heat, flagged, score, delivered_f32=delivered)
         rows = np.nonzero(flagged)[0]
+        shed = None
+        if self._escalation_budget is not None and len(rows):
+            # bounded verification backlog (PERF.md round 5e: at a 16%
+            # escalation rate one CPU verifier diverges — p50 queue wait
+            # 216 s within 12 batches). Rows beyond the budget keep their
+            # delivered heatmap and are marked shed instead of queued.
+            free = max(self._escalation_budget - self._q.qsize(), 0)
+            if free < len(rows):
+                shed = np.zeros_like(flagged)
+                shed[rows[free:]] = True
+                rows = rows[:free]
+        ticket = BatchTicket(heat, flagged, score, delivered_f32=delivered,
+                             shed=shed)
         with self._lock:
             self._n_batches += 1
             self._n_samples += (len(flagged) if n_valid is None
                                 else int(n_valid))
-            self._n_flagged += len(rows)
+            self._n_flagged += int(flagged.sum())
+            self._n_shed += int(shed.sum()) if shed is not None else 0
             self._depths.append(self._q.qsize())
         for r in rows:
             self._q.put((ticket, params, imgs_np[r], idx_np[r], int(r),
@@ -500,7 +536,7 @@ class GuardedServer:
             self._n_samples = self._n_flagged = self._n_batches = 0
             self._n_errors = 0
             self._n_tier_cleared = self._n_escalated = 0
-            self._n_f32_delivered = 0
+            self._n_f32_delivered = self._n_shed = 0
             self._t_open = time.monotonic()
 
     def stats(self) -> dict:
@@ -518,6 +554,7 @@ class GuardedServer:
                 "n_tier_cleared": self._n_tier_cleared,
                 "n_escalated": self._n_escalated,
                 "n_f32_delivered": self._n_f32_delivered,
+                "n_shed": self._n_shed,
                 "flag_rate": (self._n_flagged / self._n_samples
                               if self._n_samples else 0.0),
                 "verifier_busy_s": self._busy_s,
