@@ -3,5 +3,5 @@ from transformer_explainability_tpu.explain.generator import (  # noqa: F401
     PRECISION_PRESETS, precision_kwargs, preprocess_uint8,
 )
 from transformer_explainability_tpu.explain.bert_generator import (  # noqa: F401,E501
-    BertExplainer,
+    BertExplainer, make_guarded_bert_explain_fn,
 )

@@ -96,6 +96,12 @@ def _explain_single_impl(params, input_ids, attention_mask, index, cfg,
                 and variant == "ours" and alpha == 1.0
                 and not pk.islands_exceed_base(
                     matmul_precision, relprop_precision, mlp_precision))
+    # an explicit use_kernel=False means "this program must not contain
+    # Pallas calls" (e.g. the exact-CPU fallback runs CPU-pinned inside a
+    # TPU-default process, where rollout_from_grad_cam's backend auto-gate
+    # would wrongly pick the TPU lowering) — same contract as the ViT
+    # generator's rollout_pallas (generator.py)
+    rollout_pallas = False if use_kernel is False else None
     if use_kernel is None:
         # resource gate (auto only): reduced-precision modes on the real
         # chip at S<=512 (BERT-base's position ceiling); bert_attn_rev_core
@@ -150,7 +156,8 @@ def _explain_single_impl(params, input_ids, attention_mask, index, cfg,
         # BOTH paths now (kernel and fused XLA scan); attn_grads is None —
         # the rollout kernel accepts both layouts
         joint = pk.rollout_from_grad_cam(attn_cams, attn_grads, start_layer,
-                                         row_normalize=True)
+                                         row_normalize=True,
+                                         use_pallas=rollout_pallas)
         row = joint[0]
         return row.at[0].set(row.min())          # rollout[:,0,0]=min (:58)
 
@@ -272,3 +279,113 @@ class BertExplainer:
 
     def generate_attn_gradcam(self, ids, mask, index=None):
         return self.explain(ids, mask, index, "attn_gradcam")
+
+
+def make_cpu_exact_bert_fn(cfg: BertConfig, start_layer: int = 11,
+                           matmul_precision: str = "float32",
+                           variant: str = "ours"):
+    """One-sample exact-CPU BERT ``transformer_attribution`` — the BERT
+    analog of :func:`~...explain.generator.make_cpu_exact_fn` (same
+    rationale: exact f32 exists only on the host CPU; the TPU "f32" is
+    the MXU's bf16x6 emulation, PERF.md round 3d).
+
+    Returns ``fn(params, input_ids, attention_mask, index) -> (S,)``
+    (numpy), pinned to the CPU device. Thread-safe (locked cache fill —
+    see the ViT twin's round-5e race note)."""
+    import threading
+
+    state = {}
+    lock = threading.Lock()
+
+    def _fallback(params, ids, mask, index):
+        cpu = jax.devices("cpu")[0]
+        with lock:
+            # id-keyed cache holding a strong ref to the keyed pytree so
+            # a recycled id can never resolve to the WRONG weights
+            key = id(params)
+            if state.get("key") != key or state.get("src") is not params:
+                state["params"] = jax.device_put(params, cpu)
+                state["src"] = params
+                state["key"] = key
+            if "fn" not in state:
+                def single(p, i, m, ix):
+                    # use_kernel=False explicitly: the Pallas cores cannot
+                    # run on the CPU device this program is placed on
+                    return explain_single(
+                        p, i, m, ix, cfg, "transformer_attribution",
+                        start_layer=start_layer, variant=variant,
+                        matmul_precision=matmul_precision,
+                        use_kernel=False)
+                state["fn"] = jax.jit(single)
+            fn, cpu_params = state["fn"], state["params"]
+        return np.asarray(fn(
+            cpu_params,
+            jax.device_put(np.asarray(ids), cpu),
+            jax.device_put(np.asarray(mask), cpu),
+            jax.device_put(np.asarray(index), cpu)))
+
+    return _fallback
+
+
+def make_guarded_bert_explain_fn(cfg: BertConfig, start_layer: int = 11,
+                                 agreement: Optional[float] = None,
+                                 fallback_precision: str = "float32",
+                                 fallback: str = "sync",
+                                 return_info: bool = False,
+                                 variant: str = "ours",
+                                 **precision_overrides):
+    """Production-guarded BERT explanations — the strict (per-sample
+    numerical-fidelity) mode of the ViT
+    :func:`~...explain.generator.make_guarded_explain_fn`, for BERT.
+
+    Runs the production-preset program AND the f32-HIGHEST co-run on
+    every batch; a sample whose two token-relevance rows correlate below
+    ``agreement`` (default the shared
+    :data:`~...explain.generator.STRICT_AGREEMENT` = 0.9999) is re-run
+    in exact f32 on the host CPU. Only strict mode exists for BERT: the
+    envelope's trust-region diagnostics are emitted by the ViT reverse
+    scans and have no BERT counterpart (and envelope mode is an OOD
+    detector, not a guarantee — PERF.md rounds 5b/5e).
+
+    Returns ``fn(params, input_ids, attention_mask, indices,
+    n_valid=None) -> (B, S) heatmaps`` (numpy), or with
+    ``return_info=True`` -> ``(heatmaps, info)`` with
+    ``info = {"flagged": bool (B,), "score": float (B,)}`` (score =
+    prod-vs-f32 corr). ``fallback="defer"`` skips the CPU re-run and
+    only marks flags (the async-queue serving policy).
+    """
+    from transformer_explainability_tpu.explain.generator import (
+        PRECISION_PRESETS, STRICT_AGREEMENT, _batch_corr)
+
+    if fallback not in ("sync", "defer"):
+        raise ValueError(f"unknown fallback policy {fallback!r}")
+    if agreement is None:
+        agreement = STRICT_AGREEMENT
+    kwargs = dict(PRECISION_PRESETS["production"])
+    kwargs.update(precision_overrides)
+    fast = make_explain_fn(cfg, "transformer_attribution",
+                           start_layer=start_layer, variant=variant,
+                           **kwargs)
+    verify = make_explain_fn(cfg, "transformer_attribution",
+                             start_layer=start_layer, variant=variant,
+                             matmul_precision="float32")
+    _fallback = make_cpu_exact_bert_fn(cfg, start_layer=start_layer,
+                                       matmul_precision=fallback_precision,
+                                       variant=variant)
+
+    def guarded(params, ids, mask, indices,
+                n_valid: Optional[int] = None):
+        heat = np.array(fast(params, ids, mask, indices))
+        hver = np.asarray(verify(params, ids, mask, indices))
+        score = _batch_corr(heat, hver)
+        flagged = score < agreement
+        if n_valid is not None:
+            flagged = flagged & (np.arange(len(flagged)) < n_valid)
+        if fallback == "sync":
+            for i in np.nonzero(flagged)[0]:
+                heat[i] = _fallback(params, ids[i], mask[i], indices[i])
+        if return_info:
+            return heat, {"flagged": flagged, "score": score}
+        return heat
+
+    return guarded
